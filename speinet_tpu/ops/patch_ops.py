@@ -1,0 +1,112 @@
+"""Patch extraction (unfold) / overlap-add (fold) and fused gather+fold.
+
+TPU-native equivalents of the `F.unfold` / `F.fold` pipeline inside the
+reference's SearchTransfer attention (model/SearchTransfer.py:24-51). All the
+fold configurations used by the model have kernel = 3 * stride and
+padding = stride (k/s/p = 3/1/1, 6/2/2, 12/4/4), which lets fold decompose
+into 9 dense shifted adds — no scatter, fully vectorized on the VPU — and
+lets the gather-then-fold of transferred textures run directly on the
+reference image as s x s tile gathers, never materializing the
+[B, C*k*k, H*W] unfold of the reference pyramid (1 GB at 720p in the
+reference implementation).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def unfold(x: jnp.ndarray, kernel_size: int, stride: int = 1, padding: int = 0) -> jnp.ndarray:
+    """im2col, matching `torch.nn.functional.unfold`.
+
+    x: [B, C, H, W] -> [B, C*k*k, L] with channel-major patch ordering
+    (channel, then kernel row, then kernel col), L = nH * nW.
+    """
+    patches = jax.lax.conv_general_dilated_patches(
+        x,
+        filter_shape=(kernel_size, kernel_size),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # identity-kernel conv: force full precision or the TPU MXU rounds
+        # the copied values through bf16
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, C*k*k, nH, nW], channels ordered (c, kh, kw)
+    b, ckk, nh, nw = patches.shape
+    return patches.reshape(b, ckk, nh * nw)
+
+
+def fold(
+    patches: jnp.ndarray,
+    output_size: tuple,
+    kernel_size: int,
+    stride: int,
+    padding: int,
+) -> jnp.ndarray:
+    """Overlap-add, matching `torch.nn.functional.fold` for k = 3s, p = s.
+
+    patches: [B, C*k*k, L] -> [B, C, H_out, W_out]. Decomposes the k x k
+    patch into a 3x3 grid of s x s sub-tiles; each (di, dj) sub-tile of all
+    patches forms a dense image that is added at tile offset (di-1, dj-1).
+    """
+    k, s, p = kernel_size, stride, padding
+    assert k == 3 * s and p == s, "fold specialized for kernel=3*stride, pad=stride"
+    h_out, w_out = output_size
+    nh = (h_out + 2 * p - k) // s + 1
+    nw = (w_out + 2 * p - k) // s + 1
+    b = patches.shape[0]
+    c = patches.shape[1] // (k * k)
+    x = patches.reshape(b, c, 3, s, 3, s, nh, nw)
+    canvas = jnp.zeros((b, c, (nh + 2) * s, (nw + 2) * s), dtype=patches.dtype)
+    for di in range(3):
+        for dj in range(3):
+            block = x[:, :, di, :, dj, :, :, :]            # [B, C, s, s, nh, nw]
+            img = block.transpose(0, 1, 4, 2, 5, 3).reshape(b, c, nh * s, nw * s)
+            canvas = jax.lax.dynamic_update_slice(
+                canvas,
+                jax.lax.dynamic_slice(canvas, (0, 0, di * s, dj * s), (b, c, nh * s, nw * s)) + img,
+                (0, 0, di * s, dj * s),
+            )
+    return canvas[:, :, p : p + h_out, p : p + w_out]
+
+
+def gather_fold(ref: jnp.ndarray, index: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Fused `bis(unfold(ref)) -> fold` of the texture-transfer step.
+
+    Equivalent to the reference chain (SearchTransfer.py:36-46):
+        ref_unfold = F.unfold(ref, k=3s, stride=s, pad=s)
+        T_unfold   = gather(ref_unfold, dim=2, index)    # `bis`
+        T          = F.fold(T_unfold, out_size, k=3s, stride=s, pad=s)
+    without materializing ref_unfold. ref: [B, C, nH*s, nW*s];
+    index: [B, L] int32 with L = nH*nW (argmax over ref patch positions);
+    returns [B, C, nH*s, nW*s] (the caller divides by 9).
+
+    For each of the 9 (di, dj) patch sub-tiles, the contribution is a gather
+    of s x s tiles of `ref` at tile coordinate (idx_h + di, idx_w + dj) in a
+    one-tile-padded grid, placed densely and accumulated with a tile shift.
+    """
+    s = stride
+    b, c, hh, ww = ref.shape
+    nh, nw = hh // s, ww // s
+    l = nh * nw
+    assert index.shape[-1] == l
+    # pad one tile on each side (fold padding p = s) and view as tiles
+    refp = jnp.pad(ref, ((0, 0), (0, 0), (s, s), (s, s)))
+    tiles = refp.reshape(b, c, nh + 2, s, nw + 2, s).transpose(0, 1, 2, 4, 3, 5)
+    tiles = tiles.reshape(b, c, (nh + 2) * (nw + 2), s, s)
+    idx_h = index // nw
+    idx_w = index % nw
+    canvas = jnp.zeros((b, c, (nh + 2) * s, (nw + 2) * s), dtype=ref.dtype)
+    for di in range(3):
+        for dj in range(3):
+            flat = (idx_h + di) * (nw + 2) + (idx_w + dj)      # [B, L]
+            g = jnp.take_along_axis(tiles, flat[:, None, :, None, None], axis=2)
+            img = g.reshape(b, c, nh, nw, s, s).transpose(0, 1, 2, 4, 3, 5)
+            img = img.reshape(b, c, nh * s, nw * s)
+            canvas = jax.lax.dynamic_update_slice(
+                canvas,
+                jax.lax.dynamic_slice(canvas, (0, 0, di * s, dj * s), (b, c, nh * s, nw * s)) + img,
+                (0, 0, di * s, dj * s),
+            )
+    return canvas[:, :, s : s + nh * s, s : s + nw * s]
