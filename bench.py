@@ -1,0 +1,67 @@
+"""Benchmark: 720p frames/sec through the flagship SPEINet forward on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.md): the reference averages ~1.21 s forward per 720p
+frame on an A100-class GPU => 0.826 frames/sec.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 1.0 / 1.21  # results/GoProRs/SPEINet/speinet_0.5 forward_time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from speinet_tpu.config import Config, set_template
+    from speinet_tpu.models.speinet import SPEINet
+
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    cfg = set_template(Config(template="SPEINet")).replace(compute_dtype=dtype)
+    model = SPEINet.from_config(cfg)
+
+    h, w = 720, 1280
+    x_small = jnp.zeros((1, 5, 3, 80, 80), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x_small)
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (0.5 + 0.3 * np.sin(xx / 11.0) * np.cos(yy / 13.0)).astype(np.float32)
+    frames = np.stack([np.clip(base + 0.02 * rng.standard_normal((h, w)) + 0.01 * t, 0.02, 1.0)
+                       for t in range(5)])
+    x = jnp.asarray(np.broadcast_to(frames[None, :, None], (1, 5, 3, h, w)).copy())
+
+    fwd = jax.jit(lambda inp: model.apply(variables, inp, train=False))
+    t0 = time.time()
+    out = fwd(x)
+    out.block_until_ready()
+    compile_time = time.time() - t0
+
+    n_iter = int(os.environ.get("BENCH_ITERS", "5"))
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = fwd(x)
+    out.block_until_ready()
+    dt = (time.time() - t0) / n_iter
+
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "720p_frames_per_sec",
+        "value": round(fps, 4),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "detail": {"sec_per_frame": round(dt, 4),
+                   "compile_sec": round(compile_time, 1),
+                   "dtype": dtype},
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -1,0 +1,113 @@
+"""Batched loader with threaded decode and device prefetch.
+
+Replaces torch DataLoader (data/__init__.py:33-66): a thread pool decodes
+and assembles samples (the reference uses n_threads=8 worker processes);
+batches are asynchronously transferred so host decode overlaps device
+compute. Under a dp mesh, batches are placed with the batch axis sharded
+across devices (per-host sharding for multi-host).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+
+from speinet_tpu.config import Config
+from speinet_tpu.data.videodata import VideoDataset
+
+
+class BatchIterator:
+    """Shuffled epoch iterator producing stacked numpy batches."""
+
+    def __init__(self, dataset: VideoDataset, batch_size: int, shuffle: bool,
+                 seed: int, n_threads: int = 8, drop_last: bool = False):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.n_threads = n_threads
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, list]]:
+        rng = np.random.default_rng((self.seed, self.epoch))
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng.shuffle(order)
+        self.epoch += 1
+
+        def fetch(i):
+            # per-sample rng stream: deterministic given (seed, epoch, index)
+            srng = np.random.default_rng((self.seed, self.epoch, int(i)))
+            return self.ds.__getitem__(int(i), rng=srng)
+
+        with ThreadPoolExecutor(max_workers=self.n_threads) as pool:
+            for start in range(0, len(order), self.batch_size):
+                chunk = order[start : start + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    break
+                samples = list(pool.map(fetch, chunk))
+                inputs = np.stack([s[0] for s in samples])
+                gts = np.stack([s[1] for s in samples])
+                labels = np.stack([s[2] for s in samples])
+                names = [s[3] for s in samples]
+                yield inputs, gts, labels, names
+
+
+def prefetch_to_device(iterator, sharding=None, depth: int = 2):
+    """Overlap host batch assembly with device compute.
+
+    Wraps a batch iterator; numpy arrays are device_put (optionally with a
+    NamedSharding so the batch axis lands sharded across the dp mesh)
+    `depth` batches ahead of consumption.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def put(batch):
+        arrays = tuple(
+            jax.device_put(a, sharding) if isinstance(a, np.ndarray) and sharding is not None
+            else a for a in batch)
+        q.put(arrays)
+
+    def producer():
+        try:
+            for batch in iterator:
+                put(batch)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+
+
+class Data:
+    """Train + test loaders (parity: data/__init__.py:33-66)."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        if not cfg.test_only:
+            trainset = VideoDataset(cfg, name=cfg.data_train, train=True)
+            self.loader_train = BatchIterator(trainset, cfg.batch_size,
+                                              shuffle=True, seed=cfg.seed,
+                                              n_threads=cfg.n_threads,
+                                              drop_last=True)
+        else:
+            self.loader_train = None
+        testset = VideoDataset(cfg, name=cfg.data_test, train=False)
+        self.loader_test = BatchIterator(testset, 1, shuffle=False,
+                                         seed=cfg.seed, n_threads=cfg.n_threads)

@@ -1,0 +1,150 @@
+"""Patch-correlation search & transfer attention (parity: model/SearchTransfer.py).
+
+TTSR-style: unfold 3x3 patches of the fused mid features and of a reference
+feature map, L2-normalize, correlate (cosine), take per-position max over
+reference positions, then transfer reference textures at 3 pyramid scales
+weighted by the confidence map S.
+
+TPU-first redesign:
+- The reference materializes R = [N, Hr*Wr, H*W] (SearchTransfer.py:33) —
+  13 GB at 720p lv3. Here the correlation runs as an *online* tiled
+  max/argmax (flash-attention-style) over reference chunks via lax.scan:
+  peak memory is B x chunk x HW.
+- The texture transfer never materializes the reference unfolds
+  (C*k*k x H*W, ~1 GB at 720p for lv1); `gather_fold` gathers s x s tiles
+  straight from the reference map (ops/patch_ops.py).
+- Both branches of the reference's data-dependent routing (SearchTransfer
+  with a sharp reference vs SelfTransfer with a rotated self-reference,
+  speinet.py:150-168) share one correlation pass: the reference patches are
+  selected per sample *before* the scan, so the O(N^2) work is done once
+  per sample regardless of routing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from speinet_tpu.ops.patch_ops import unfold, gather_fold
+from speinet_tpu.ops.resize import bicubic_upsample
+
+Dtype = Any
+
+
+def _l2_normalize(x: jnp.ndarray, axis: int, eps: float = 1e-12) -> jnp.ndarray:
+    """F.normalize semantics: x / max(||x||, eps)."""
+    norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+def correlation_argmax(
+    lr_unfold: jnp.ndarray,
+    ref_unfold: jnp.ndarray,
+    chunk: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Online max/argmax of the patch-correlation matrix.
+
+    lr_unfold:  [B, D, L]  (columns L2-normalized), D = C*9
+    ref_unfold: [B, Lr, D] (rows L2-normalized)
+    Returns (S, argmax): [B, L] float max-correlation and int32 index into
+    the reference positions. Equivalent to
+    `torch.max(bmm(ref, lr), dim=1)` (SearchTransfer.py:33-34) without
+    materializing [B, Lr, L].
+    """
+    b, d, l = lr_unfold.shape
+    l_ref = ref_unfold.shape[1]
+    chunk = min(chunk, l_ref)
+    pad = (-l_ref) % chunk
+    if pad:
+        # zero rows; masked to -inf inside the scan body
+        ref_unfold = jnp.pad(ref_unfold, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = ref_unfold.shape[1] // chunk
+    ref_chunks = ref_unfold.reshape(b, n_chunks, chunk, d).transpose(1, 0, 2, 3)
+
+    init = (jnp.full((b, l), -jnp.inf, dtype=jnp.float32),
+            jnp.zeros((b, l), dtype=jnp.int32))
+
+    def body(carry, inp):
+        best, best_idx = carry
+        ci, rc = inp  # chunk index, [B, chunk, D]
+        r = jnp.einsum("bkd,bdl->bkl", rc, lr_unfold,
+                       preferred_element_type=jnp.float32)  # [B, chunk, L]
+        if pad:
+            # mask rows beyond the true reference length
+            row_ids = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
+            r = jnp.where((row_ids < l_ref)[None, :, None], r, -jnp.inf)
+        cmax = jnp.max(r, axis=1)
+        carg = jnp.argmax(r, axis=1).astype(jnp.int32) + ci * chunk
+        upd = cmax > best
+        return (jnp.where(upd, cmax, best),
+                jnp.where(upd, carg, best_idx)), None
+
+    (best, best_idx), _ = jax.lax.scan(
+        body, init, (jnp.arange(n_chunks), ref_chunks))
+    return best, best_idx
+
+
+class TransferUnit(nn.Module):
+    """Unified SearchTransfer + SelfTransfer with per-sample routing.
+
+    __call__(f_fusion, sharp_lv1, sharp_lv2, sharp_lv3, has_sharp):
+      f_fusion: [B, H, W, 4f] NHWC fused mid features (lrsr_lv3)
+      sharp_lv*: sharp-frame encoder pyramid, NHWC ([B,4H,4W,f], [B,2H,2W,2f],
+                 [B,H,W,4f])
+      has_sharp: [B] bool — True => SearchTransfer semantics
+                 (speinet.py:135), False => SelfTransfer (speinet.py:147)
+    Returns (S [B,H,W,1], T_lv3 [B,H,W,4f], T_lv2 [B,2H,2W,2f],
+             T_lv1 [B,4H,4W,f]).
+    """
+
+    n_feat: int = 32
+    chunk: int = 2048
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, f_fusion, sharp_lv1, sharp_lv2, sharp_lv3, has_sharp):
+        b, hh, ww, c4 = f_fusion.shape
+        l = hh * ww
+        # NCHW for patch ops
+        lr_nchw = f_fusion.transpose(0, 3, 1, 2)
+        sharp3_nchw = sharp_lv3.transpose(0, 3, 1, 2)
+        # SelfTransfer reference: transpose(H, W) then flip the new H axis
+        # (SearchTransfer.py:60: x.transpose(2,3).flip(2))
+        self_ref_nchw = jnp.flip(lr_nchw.transpose(0, 1, 3, 2), axis=2)
+
+        lr_unfold = unfold(lr_nchw, 3, 1, 1)                  # [B, D, L]
+        ref_search = unfold(sharp3_nchw, 3, 1, 1)             # [B, D, L]
+        ref_self = unfold(self_ref_nchw, 3, 1, 1)             # [B, D, L]
+        sel = has_sharp[:, None, None]
+        ref_unfold = jnp.where(sel, ref_search, ref_self).transpose(0, 2, 1)
+
+        lr_n = _l2_normalize(lr_unfold.astype(jnp.float32), axis=1)
+        ref_n = _l2_normalize(ref_unfold.astype(jnp.float32), axis=2)
+        s, idx = correlation_argmax(lr_n, ref_n, chunk=self.chunk)
+
+        weight_s = s.reshape(b, hh, ww, 1)
+
+        # --- SearchTransfer texture path: gather+fold of the sharp pyramid
+        t3_search = gather_fold(sharp3_nchw, idx, 1) / 9.0
+        t2_search = gather_fold(sharp_lv2.transpose(0, 3, 1, 2), idx, 2) / 9.0
+        t1_search = gather_fold(sharp_lv1.transpose(0, 3, 1, 2), idx, 4) / 9.0
+
+        # --- SelfTransfer texture path (SearchTransfer.py:72-76)
+        t3_self = f_fusion
+        up2 = bicubic_upsample(lr_nchw.astype(jnp.float32), 2).transpose(0, 2, 3, 1)
+        t2_self = nn.relu(nn.Conv(self.n_feat * 2, (1, 1), dtype=self.dtype,
+                                  name="self_search1")(up2.astype(self.dtype)))
+        up4 = bicubic_upsample(t2_self.transpose(0, 3, 1, 2).astype(jnp.float32), 2)
+        up4 = up4.transpose(0, 2, 3, 1)
+        t1_self = nn.relu(nn.Conv(self.n_feat, (1, 1), dtype=self.dtype,
+                                  name="self_search2")(up4.astype(self.dtype)))
+
+        sel4 = has_sharp[:, None, None, None]
+        t_lv3 = jnp.where(sel4, t3_search.transpose(0, 2, 3, 1), t3_self)
+        t_lv2 = jnp.where(sel4, t2_search.transpose(0, 2, 3, 1), t2_self)
+        t_lv1 = jnp.where(sel4, t1_search.transpose(0, 2, 3, 1), t1_self)
+        return weight_s, t_lv3.astype(self.dtype), t_lv2.astype(self.dtype), \
+            t_lv1.astype(self.dtype)

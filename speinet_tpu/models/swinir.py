@@ -1,0 +1,303 @@
+"""Cross-frame SwinIR fusion backbone (parity: model/swinir.py).
+
+The reference modifies SwinIR's WindowAttention into a *cross*-attention:
+queries come from the second input `y` (neighbor-frame features) while keys
+and values come from `x` (the evolving mid-frame stream) — swinir.py:104-126.
+Everything here is re-designed for XLA:
+
+- NHWC feature maps; window partition/reverse are pure reshapes/transposes
+  that XLA folds into the surrounding ops.
+- Shift masks are built with numpy at trace time for the (static) spatial
+  shape, so arbitrary eval sizes need no mask cache (reference recomputes
+  them on device per forward, swinir.py:263-266).
+- Spatial sizes that are not window multiples are zero-padded and the
+  padded tokens masked out of the softmax (the reference would simply
+  crash; sizes used by the published configs are always divisible).
+- Attention runs as batched einsums over [B*nW, heads, N, head_dim] which
+  XLA maps onto the MXU; bfloat16-friendly via the `dtype` field.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+Dtype = Any
+
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """Pairwise relative-position index table (parity: swinir.py:91-102)."""
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)  # [wh*ww, wh*ww]
+
+
+@functools.lru_cache(maxsize=None)
+def shift_attn_mask(h: int, w: int, window_size: int, shift_size: int) -> np.ndarray:
+    """SW-MSA attention mask, numpy at trace time (parity: swinir.py:215-236).
+
+    Returns [nW, N, N] with 0 / -100 entries.
+    """
+    img_mask = np.zeros((h, w))
+    slices = (slice(0, -window_size), slice(-window_size, -shift_size),
+              slice(-shift_size, None))
+    cnt = 0
+    for hs in slices:
+        for ws in slices:
+            img_mask[hs, ws] = cnt
+            cnt += 1
+    m = img_mask.reshape(h // window_size, window_size, w // window_size, window_size)
+    m = m.transpose(0, 2, 1, 3).reshape(-1, window_size * window_size)
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B*nW, ws*ws, C] (parity: swinir.py:32-44)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def window_reverse(win: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
+    """[B*nW, ws*ws, C] -> [B, H, W, C] (parity: swinir.py:47-61)."""
+    c = win.shape[-1]
+    b = win.shape[0] // (h * w // ws // ws)
+    x = win.reshape(b, h // ws, w // ws, ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class WindowCrossAttention(nn.Module):
+    """Windowed MHA; Q from `y`, K/V from `x` (parity: swinir.py:64-149)."""
+
+    dim: int
+    window_size: Tuple[int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, mask=None):
+        # x, y: [B_, N, C]; mask: [nW, N, N] numpy/jnp or None
+        b_, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        scale = hd ** -0.5
+        kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                      kernel_init=trunc_normal_init, name="qkv_x")(x)
+        q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype,
+                     kernel_init=trunc_normal_init, name="qkv_y")(y)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(b_, n, h, hd).transpose(0, 2, 1, 3) * scale
+        k = k.reshape(b_, n, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b_, n, h, hd).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)            # [B_, h, N, N]
+
+        wh, ww = self.window_size
+        table = self.param("relative_position_bias_table", trunc_normal_init,
+                           ((2 * wh - 1) * (2 * ww - 1), h), jnp.float32)
+        idx = relative_position_index(wh, ww)
+        bias = table[np.asarray(idx).reshape(-1)].reshape(wh * ww, wh * ww, h)
+        bias = bias.transpose(2, 0, 1)                         # [h, N, N]
+        attn = attn + bias[None].astype(attn.dtype)
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, h, n, n)
+            attn = attn + jnp.asarray(mask, dtype=attn.dtype)[None, :, None]
+            attn = attn.reshape(b_, h, n, n)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        out = nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init,
+                       name="proj")(out)
+        return out
+
+
+class SwinBlock(nn.Module):
+    """One (shifted-)window cross-attention transformer block
+    (parity: swinir.py:163-281)."""
+
+    dim: int
+    num_heads: int
+    window_size: int = 5
+    shift_size: int = 0
+    mlp_ratio: float = 2.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, x_size, deterministic: bool = True):
+        hh, ww = x_size
+        b, l, c = x.shape
+        ws, ss = self.window_size, self.shift_size
+        if min(hh, ww) <= ws:       # parity: swinir.py:192-195
+            ss = 0
+            ws = min(hh, ww)
+
+        shortcut = x
+        norm1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
+        xn = norm1(x).reshape(b, hh, ww, c).astype(self.dtype)
+        yn = norm1(y).reshape(b, hh, ww, c).astype(self.dtype)
+
+        # pad to window multiples (masked out below); no-op for published sizes
+        ph = (-hh) % ws
+        pw = (-ww) % ws
+        if ph or pw:
+            xn = jnp.pad(xn, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            yn = jnp.pad(yn, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        hp, wp = hh + ph, ww + pw
+
+        if ss > 0:
+            xn = jnp.roll(xn, (-ss, -ss), axis=(1, 2))
+            yn = jnp.roll(yn, (-ss, -ss), axis=(1, 2))
+        mask = shift_attn_mask(hp, wp, ws, ss) if ss > 0 else None
+        if ph or pw:
+            pad_mask = np.zeros((1, hp, wp, 1), np.float32)
+            pad_mask[:, hh:, :, :] = 1.0
+            pad_mask[:, :, ww:, :] = 1.0
+            if ss > 0:
+                pad_mask = np.roll(pad_mask, (-ss, -ss), axis=(1, 2))
+            pm = window_partition(jnp.asarray(pad_mask), ws).reshape(-1, ws * ws)
+            pm = np.asarray(pm)
+            pmask = np.where(pm[:, None, :] > 0, -100.0, 0.0).astype(np.float32)
+            mask = pmask if mask is None else mask + pmask
+
+        xw = window_partition(xn, ws)
+        yw = window_partition(yn, ws)
+        attn = WindowCrossAttention(self.dim, (ws, ws), self.num_heads,
+                                    dtype=self.dtype, name="attn")(xw, yw, mask)
+        out = window_reverse(attn, ws, hp, wp)
+        if ss > 0:
+            out = jnp.roll(out, (ss, ss), axis=(1, 2))
+        if ph or pw:
+            out = out[:, :hh, :ww]
+        out = out.reshape(b, l, c)
+
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = shortcut + dp(out, deterministic)
+        xm = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        hdim = int(c * self.mlp_ratio)
+        xm = nn.Dense(hdim, dtype=self.dtype, kernel_init=trunc_normal_init,
+                      name="mlp_fc1")(xm)
+        xm = jax.nn.gelu(xm, approximate=False)
+        xm = nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init,
+                      name="mlp_fc2")(xm)
+        return x + dp(xm, deterministic)
+
+
+class RSTB(nn.Module):
+    """Residual Swin Transformer Block: depth blocks + 3x3 conv + residual
+    (parity: swinir.py:421-494)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    drop_path: Sequence[float]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, x_size, deterministic: bool = True):
+        res = x
+        for i in range(self.depth):
+            res = SwinBlock(self.dim, self.num_heads, self.window_size,
+                            shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                            mlp_ratio=self.mlp_ratio, drop_path=self.drop_path[i],
+                            dtype=self.dtype, name=f"block{i}")(res, y, x_size,
+                                                                deterministic)
+        hh, ww = x_size
+        b, l, c = res.shape
+        img = res.reshape(b, hh, ww, c).astype(self.dtype)
+        img = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype, name="conv")(img)
+        return img.reshape(b, l, c) + x
+
+
+class SwinIRCross(nn.Module):
+    """Feature-space cross-frame SwinIR, upsampler='' branch
+    (parity: swinir.py:620-810 as configured by speinet.py:40-49).
+
+    __call__(x, y): NHWC [B, H, W, C_in] each; returns x + conv_last(res),
+    C_in-channel residual restoration. The RGB mean shift of the reference
+    is identity here because in_chans != 3 => mean = 0 (swinir.py:660-664)
+    and img_range = 1.
+    """
+
+    embed_dim: int = 256
+    depths: Sequence[int] = (6, 6, 6, 6, 6, 6)
+    num_heads: Sequence[int] = (8, 8, 8, 8, 8, 8)
+    window_size: int = 5
+    mlp_ratio: float = 2.0
+    drop_path_rate: float = 0.1
+    patch_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        hh, ww = x.shape[1], x.shape[2]
+        b = x.shape[0]
+        conv_first = nn.Conv(self.embed_dim, (3, 3), padding=1, dtype=self.dtype,
+                             name="conv_first")          # shared for x and y
+        x_first = conv_first(x.astype(self.dtype))
+        y_first = conv_first(y.astype(self.dtype))
+
+        # patch_embed: flatten + (shared) LayerNorm (swinir.py:497-530,765-766)
+        embed_norm = nn.LayerNorm(dtype=jnp.float32, name="patch_embed_norm") \
+            if self.patch_norm else (lambda t: t)
+        xe = embed_norm(x_first.reshape(b, hh * ww, self.embed_dim))
+        ye = embed_norm(y_first.reshape(b, hh * ww, self.embed_dim))
+        xe = xe.astype(self.dtype)
+        ye = ye.astype(self.dtype)
+
+        # stochastic-depth schedule over all blocks (swinir.py:691)
+        total = sum(self.depths)
+        dpr = np.linspace(0, self.drop_path_rate, total).tolist()
+        feat = xe
+        off = 0
+        for li, depth in enumerate(self.depths):
+            feat = RSTB(self.embed_dim, depth, self.num_heads[li],
+                        self.window_size, self.mlp_ratio,
+                        drop_path=dpr[off : off + depth], dtype=self.dtype,
+                        name=f"layer{li}")(feat, ye, (hh, ww), deterministic)
+            off += depth
+        feat = nn.LayerNorm(dtype=jnp.float32, name="norm")(feat).astype(self.dtype)
+        feat = feat.reshape(b, hh, ww, self.embed_dim)
+
+        res = nn.Conv(self.embed_dim, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv_after_body")(feat) + x_first
+        out = nn.Conv(in_ch, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv_last")(res)
+        return x.astype(self.dtype) + out

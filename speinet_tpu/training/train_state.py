@@ -1,0 +1,119 @@
+"""Train state + jitted DP train/eval steps.
+
+Replaces the reference trainer's optimizer plumbing (trainer/trainer.py:24-30:
+Adam(lr, weight_decay) + StepLR(lr_decay, gamma)) with optax, and
+`nn.DataParallel` with sharding annotations on one jitted step: batch
+sharded over the 'dp' mesh axis, params replicated, gradient all-reduce
+inserted by the XLA SPMD partitioner.
+
+LR schedule parity note: the reference calls scheduler.step() at the TOP of
+each epoch (trainer_swint_hsa_nsf.py:20), so epoch e (1-based) trains with
+lr0 * gamma^floor(e / lr_decay). `lr_for_epoch` reproduces that, including
+the one-epoch-early decay quirk (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from speinet_tpu.config import Config
+from speinet_tpu.training.loss import LossComputer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: optax.OptState
+    lr: jnp.ndarray                      # current learning rate (mutable per epoch)
+
+
+def lr_for_epoch(cfg: Config, epoch: int) -> float:
+    """StepLR with step-at-top-of-epoch semantics (1-based epoch)."""
+    return cfg.lr * (cfg.gamma ** (epoch // cfg.lr_decay))
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Adam with torch-style weight decay (added to grads before moments)."""
+    chain = []
+    if cfg.weight_decay:
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain.append(optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.epsilon))
+    chain.append(optax.scale(-1.0))      # lr applied separately (mutable)
+    return optax.chain(*chain)
+
+
+def create_train_state(cfg: Config, model, rng: jax.Array,
+                       sample_input: jnp.ndarray) -> Tuple[TrainState, Any]:
+    variables = model.init(rng, sample_input)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=opt_state,
+                       lr=jnp.asarray(cfg.lr, jnp.float32))
+    return state, tx
+
+
+def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None) -> Callable:
+    """Build the jitted train step. batch = (input [B,5,3,H,W], gt [B,3,H,W])."""
+    loss_computer = LossComputer(cfg.loss)
+
+    def step_fn(state: TrainState, inp, gt, rng):
+        drop_rng, hem_rng = jax.random.split(rng)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out, mutated = model.apply(
+                variables, inp, train=True, mutable=["batch_stats"],
+                rngs={"droppath": drop_rng})
+            total, comps = loss_computer(out, gt, hem_rng)
+            return total, (comps, mutated.get("batch_stats", {}))
+
+        (total, (comps, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * state.lr, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, total, comps
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    batch_sh = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_sh, batch_sh, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(model, mesh: Optional[Mesh] = None) -> Callable:
+    def eval_fn(params, batch_stats, inp):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, inp, train=False)
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    batch_sh = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(eval_fn, in_shardings=(repl, repl, batch_sh),
+                   out_shardings=batch_sh)

