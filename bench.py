@@ -19,6 +19,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from speinet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from speinet_tpu.config import Config, set_template
     from speinet_tpu.models.speinet import SPEINet
 

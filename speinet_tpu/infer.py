@@ -1,0 +1,230 @@
+"""Inference engine (parity: inference_SPEINet.py).
+
+Self-contained end-to-end evaluation: per video — load or infer sharp
+labels, build border-padded sliding windows with pre/sub sharp frames,
+run the jitted forward (whole windows batched over the dp mesh; optional
+4-tile spatial chop), compute PSNR (border-crop 4, float64 host parity) and
+MATLAB SSIM, save PNGs, and write the reference's `inference_log` format
+including per-frame pre/forward/post timings and per-video + total
+averages (inference_SPEINet.py:338-429).
+
+    python -m speinet_tpu.infer --data_path <tree> --model_path <ckpt-dir> \
+        --result_path ./infer_results
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+from typing import List, Optional
+
+import imageio.v2 as imageio
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from speinet_tpu.config import Config, set_template
+from speinet_tpu.data.indices import frame_number, gene_seq, gene_seq_nsf
+from speinet_tpu.detector.classifier import LogisticRegressionJAX
+from speinet_tpu.detector.train import video_features
+from speinet_tpu.models.speinet import SPEINet
+from speinet_tpu.ops.metrics import psnr_uint8_host, ssim_matlab
+from speinet_tpu.parallel.chop import chop_batch, chop_merge
+
+
+class TraverseLogger:
+    """Parity: inference_SPEINet.py:26-34."""
+
+    def __init__(self, result_dir: str, filename: str = "inference_log.txt"):
+        self.path = os.path.join(result_dir, filename)
+        open_type = "a" if os.path.exists(self.path) else "w"
+        self.f = open(self.path, open_type)
+
+    def write_log(self, log: str):
+        print(log, flush=True)
+        self.f.write(log + "\n")
+        self.f.flush()
+
+
+class Inference:
+    def __init__(self, cfg: Config, data_path: str, model_path: str,
+                 result_path: str, save_image: bool = True, border: bool = True,
+                 detector_pickle: Optional[str] = None):
+        self.cfg = cfg
+        self.n_seq = cfg.n_sequence
+        self.size_must_mode = cfg.size_must_mode
+        self.save_image = save_image
+        self.border = border
+        self.data_path = data_path
+        self.result_path = result_path
+        self.detector_pickle = detector_pickle
+        os.makedirs(result_path, exist_ok=True)
+        self.input_path = os.path.join(data_path, "blur")
+        self.gt_path = os.path.join(data_path, "gt")
+        self.label_path = os.path.join(data_path, "label")
+
+        now = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime())
+        self.logger = TraverseLogger(result_path, f"inference_log_{now}.txt")
+        self.logger.write_log(f"Inference - {now}")
+        for k, v in [("save_image", save_image), ("border", border),
+                     ("model_path", model_path), ("data_path", data_path),
+                     ("result_path", result_path), ("n_seq", self.n_seq),
+                     ("size_must_mode", self.size_must_mode),
+                     ("device", str(jax.devices()))]:
+            self.logger.write_log(f"{k}: {v}")
+
+        self.model = SPEINet.from_config(cfg)
+        self.params, self.batch_stats = self._load_weights(model_path)
+        self.logger.write_log(f"Loading model from {model_path}")
+        # params passed as traced args (not closure constants) so one
+        # compiled program serves any weights
+        self._fwd_jit = jax.jit(self._forward)
+        self._fwd_chop_jit = jax.jit(self._forward_chop)
+        self._fwd = lambda x: self._fwd_jit(self.params, self.batch_stats, x)
+        self._fwd_chop = lambda x: self._fwd_chop_jit(self.params,
+                                                      self.batch_stats, x)
+
+    def _load_weights(self, model_path: str):
+        if model_path and os.path.exists(model_path):
+            import orbax.checkpoint as ocp
+            tree = ocp.StandardCheckpointer().restore(os.path.abspath(model_path))
+            return tree["params"], tree.get("batch_stats", {})
+        # random init (smoke/demo mode)
+        x = jnp.zeros((1, 5, 3, 80, 80), jnp.float32)
+        variables = self.model.init(jax.random.PRNGKey(0), x)
+        return variables["params"], variables.get("batch_stats", {})
+
+    @staticmethod
+    def _make_variables(params, batch_stats):
+        v = {"params": params}
+        if batch_stats:
+            v["batch_stats"] = batch_stats
+        return v
+
+    def _forward(self, params, batch_stats, x):
+        return self.model.apply(self._make_variables(params, batch_stats), x,
+                                train=False)
+
+    def _forward_chop(self, params, batch_stats, x):
+        h, w = x.shape[-2:]
+        tiles = chop_batch(x, shave=self.cfg.chop_shave)
+        y = self.model.apply(self._make_variables(params, batch_stats), tiles,
+                             train=False)
+        return chop_merge(y, h, w)
+
+    # ------------------------------------------------------------------
+    def _labels_for_video(self, v: str, input_frames: List[str]) -> np.ndarray:
+        if os.path.exists(self.label_path):
+            return np.load(os.path.join(self.label_path, v + ".npy"))
+        # on-the-fly sharpness detection (inference_SPEINet.py:349-353)
+        frames = np.stack([imageio.imread(p) for p in input_frames])
+        feats = video_features(frames, kernel_size=11)
+        model = LogisticRegressionJAX.load(self.detector_pickle)
+        return np.asarray(model.predict(feats)).reshape(-1)
+
+    def infer(self):
+        total_psnr, total_ssim = {}, {}
+        videos = sorted(os.listdir(self.input_path))
+        for v in videos:
+            video_psnr, video_ssim = [], []
+            input_frames = sorted(glob.glob(os.path.join(self.input_path, v, "*")))
+            gt_frames = sorted(glob.glob(os.path.join(self.gt_path, v, "*")))
+            labels = self._labels_for_video(v, input_frames)
+            pre_lists, sub_lists = gene_seq_nsf(labels, n_seq=self.n_seq,
+                                                border=self.border)
+            input_seqs, padded_inputs = gene_seq(input_frames, n_seq=self.n_seq,
+                                                 border=self.border)
+            gt_seqs, _ = gene_seq(gt_frames, n_seq=self.n_seq, border=self.border)
+
+            for in_seq, gt_seq, pre_seq, sub_seq in zip(input_seqs, gt_seqs,
+                                                        pre_lists, sub_lists):
+                start = time.time()
+                filename = os.path.basename(in_seq[self.n_seq // 2]).split(".")[0]
+                seq = list(in_seq)
+                seq.append(padded_inputs[pre_seq[0]])
+                seq.append(padded_inputs[sub_seq[self.n_seq - 1]])
+                names = [os.path.split(os.path.dirname(p))[-1] + "." +
+                         os.path.splitext(os.path.basename(p))[0] for p in seq]
+                nums = [frame_number(n) for n in names]
+
+                inputs = [imageio.imread(p) for p in seq]
+                gt = imageio.imread(gt_seq[self.n_seq // 2])
+                h, w = inputs[self.n_seq // 2].shape[:2]
+                nh, nw = h - h % self.size_must_mode, w - w % self.size_must_mode
+                inputs = [im[:nh, :nw] for im in inputs]
+                gt = gt[:nh, :nw]
+                if abs(nums[2] - nums[3]) > 7:
+                    inputs[-2] = np.zeros_like(inputs[-2])
+                if abs(nums[2] - nums[4]) > 7:
+                    inputs[-1] = np.zeros_like(inputs[-1])
+
+                x = np.stack([im.transpose(2, 0, 1) for im in inputs])[None]
+                x = jnp.asarray(x.astype(np.float32) * (self.cfg.rgb_range / 255.0))
+                t_pre = time.time()
+                out = (self._fwd_chop(x) if self.cfg.chop else self._fwd(x))
+                out.block_until_ready()
+                t_fwd = time.time()
+                img = np.asarray(jnp.clip(jnp.round(
+                    out[0] * (255.0 / self.cfg.rgb_range)), 0, 255)
+                ).astype(np.uint8).transpose(1, 2, 0)
+                psnr = psnr_uint8_host(img, gt, crop_border=4)
+                ssim = float(ssim_matlab(jnp.asarray(gt), jnp.asarray(img)))
+                video_psnr.append(psnr)
+                video_ssim.append(ssim)
+                total_psnr[v] = video_psnr
+                total_ssim[v] = video_ssim
+                if self.save_image:
+                    os.makedirs(os.path.join(self.result_path, v), exist_ok=True)
+                    imageio.imwrite(os.path.join(self.result_path, v,
+                                                 f"{filename}.png"), img)
+                t_post = time.time()
+                self.logger.write_log(
+                    f"> {v}-{filename} PSNR={psnr:.5}, SSIM={ssim:.4} "
+                    f"pre_time:{t_pre - start:.3}s, forward_time:{t_fwd - t_pre:.3}s, "
+                    f"post_time:{t_post - t_fwd:.3}s, total_time:{t_post - start:.3}s")
+
+        sum_psnr = sum_ssim = 0.0
+        n_img = 0
+        for k in total_psnr:
+            self.logger.write_log(
+                f"# Video:{k} AVG-PSNR={np.mean(total_psnr[k]):.5}, "
+                f"AVG-SSIM={np.mean(total_ssim[k]):.4}")
+            sum_psnr += sum(total_psnr[k])
+            sum_ssim += sum(total_ssim[k])
+            n_img += len(total_psnr[k])
+        if n_img:
+            self.logger.write_log(
+                f"# Total AVG-PSNR={sum_psnr / n_img:.5}, "
+                f"AVG-SSIM={sum_ssim / n_img:.4}")
+        return (sum_psnr / n_img if n_img else 0.0,
+                sum_ssim / n_img if n_img else 0.0)
+
+
+def main(argv=None):
+    from speinet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    p = argparse.ArgumentParser(description="SPEINet-TPU Inference")
+    p.add_argument("--save_image", type=lambda s: s.lower() != "false", default=True)
+    p.add_argument("--border", type=lambda s: s.lower() != "false", default=True)
+    p.add_argument("--chop", action="store_true",
+                   help="4-tile spatial chopped forward")
+    p.add_argument("--default_data", type=str, default="",
+                   help="preset: REDS | GOPRO | BSD")
+    p.add_argument("--data_path", type=str, default="./dataset/test")
+    p.add_argument("--model_path", type=str, default="")
+    p.add_argument("--result_path", type=str, default="./infer_results")
+    p.add_argument("--detector_pickle", type=str, default="")
+    args = p.parse_args(argv)
+
+    cfg = set_template(Config(template="SPEINet")).replace(chop=args.chop)
+    inf = Inference(cfg, args.data_path, args.model_path, args.result_path,
+                    save_image=args.save_image, border=args.border,
+                    detector_pickle=args.detector_pickle or None)
+    inf.infer()
+
+
+if __name__ == "__main__":
+    main()

@@ -61,8 +61,11 @@ class ConvTransposeTorch(nn.Module):
                                                 in_axis=(0, 1, 3), out_axis=2)
         kernel = self.param("kernel", init, (k, k, self.features, in_ch), jnp.float32)
         bound = 1.0 / (in_ch * k * k) ** 0.5
-        bias = self.param("bias", nn.initializers.uniform(scale=2 * bound),
-                          (self.features,), jnp.float32) - bound
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        bias = self.param("bias", bias_init, (self.features,))
         return conv_transpose_torch(x.astype(self.dtype), kernel.astype(self.dtype),
                                     bias.astype(self.dtype), self.stride,
                                     self.padding, self.output_padding)

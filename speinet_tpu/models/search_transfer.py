@@ -102,6 +102,7 @@ class TransferUnit(nn.Module):
 
     n_feat: int = 32
     chunk: int = 2048
+    use_pallas: bool = True     # fused online-max kernel on TPU backends
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -123,7 +124,12 @@ class TransferUnit(nn.Module):
 
         lr_n = _l2_normalize(lr_unfold.astype(jnp.float32), axis=1)
         ref_n = _l2_normalize(ref_unfold.astype(jnp.float32), axis=2)
-        s, idx = correlation_argmax(lr_n, ref_n, chunk=self.chunk)
+        if self.use_pallas and jax.default_backend() == "tpu":
+            from speinet_tpu.ops.pallas_corr import correlation_argmax_pallas
+
+            s, idx = correlation_argmax_pallas(lr_n, ref_n)
+        else:
+            s, idx = correlation_argmax(lr_n, ref_n, chunk=self.chunk)
 
         weight_s = s.reshape(b, hh, ww, 1)
 

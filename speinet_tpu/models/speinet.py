@@ -15,6 +15,13 @@ runs ONE correlation pass whose reference patches are selected per sample
 between the two cheap texture-transfer paths. The routing flag replicates
 the reference quirk of testing only frame[3] for all-zero (speinet.py:70-73,
 151) while the sharp *reference* consumed is frame[4] (speinet.py:124).
+
+All seven encoder legs (sharp pyramid, mid, RL(mid), neighbors, RL(n))
+run as ONE batched pass, and both neighbor fusion passes as one batched
+swin call — identical eval numerics, ~7x fewer traced encoder graphs.
+(Train-mode BatchNorm statistics are computed over the stacked batch
+rather than per-call as the reference does — a deliberate deviation that
+only affects BN batch statistics during training.)
 """
 
 from __future__ import annotations
@@ -91,28 +98,19 @@ class SPEINet(nn.Module):
         self.search23 = nn.Conv(f, (1, 1), dtype=d)   # defined, unused (parity)
         self.search13 = nn.Conv(f, (1, 1), dtype=d)
 
-    def _encode3(self, frame, train):
-        """inBlock -> enc1 -> enc2 (speinet.py:82,130)."""
-        return self.recons_net.encode3(frame, train=train)
-
-    def _process(self, frame_list, f_mid, train, deterministic):
-        """Cross-frame Swin fusion over the neighbor frames
-        (parity: speinet.py:75-90)."""
-        kernel = box_kernel(5, dtype=jnp.float32)
-        f_fusion = f_mid
-        for i in range(self.n_sequence):
-            if i == self.n_sequence // 2:
-                continue
-            frame = frame_list[i]
-            deb = richardson_lucy(frame.transpose(0, 3, 1, 2).astype(jnp.float32),
-                                  kernel, 1, 0.01).transpose(0, 2, 3, 1)
-            feats = self._encode3(frame, train) + self._encode3(deb.astype(frame.dtype), train)
-            f_trans = self.swin(f_mid, feats, deterministic=deterministic)
-            f_fusion = jnp.concatenate([f_fusion, f_trans], axis=-1)
-        if self.n_sequence == 1:
-            f_trans = self.swin(f_mid, f_mid, deterministic=deterministic)
-            f_fusion = f_fusion + f_trans
-        return f_fusion
+    def _fuse(self, f_mid, neighbor_feats, deterministic):
+        """Cross-frame Swin fusion (parity: speinet.py:75-90). All neighbor
+        passes run as one batched swin call — same weights and same K/V
+        stream f_mid, so numerics are identical to per-neighbor calls."""
+        if not neighbor_feats:   # n_sequence == 1 (speinet.py:87-89)
+            return f_mid + self.swin(f_mid, f_mid, deterministic=deterministic)
+        b = f_mid.shape[0]
+        x_in = jnp.concatenate([f_mid] * len(neighbor_feats), axis=0)
+        y_in = jnp.concatenate(neighbor_feats, axis=0)
+        f_trans = self.swin(x_in, y_in, deterministic=deterministic)
+        parts = [f_mid] + [f_trans[k * b : (k + 1) * b]
+                           for k in range(len(neighbor_feats))]
+        return jnp.concatenate(parts, axis=-1)
 
     def _decode(self, f_fusion, weight_s, sharp_lv3, sharp_lv2, sharp_lv1, train):
         """Three-level decoder with S-weighted texture injection and
@@ -158,21 +156,46 @@ class SPEINet(nn.Module):
         nhwc = x.transpose(0, 1, 3, 4, 2)  # [B, 5, H, W, 3]
         frame_list = [nhwc[:, i].astype(self.dtype) for i in range(self.n_sequence)]
         sharp_frame = nhwc[:, self.n_sequence + 1].astype(self.dtype)
+        mid_i = self.n_sequence // 2
+        neighbors = [i for i in range(self.n_sequence) if i != mid_i]
 
-        # sharp-frame pyramid (speinet.py:125-127)
-        r = self.recons_net
-        sharp_lv1 = r.in_block(sharp_frame, train=train)
-        sharp_lv2 = r.encoder_first(sharp_lv1, train=train)
-        sharp_lv3 = r.encoder_second(sharp_lv2, train=train)
-
-        # mid-frame trunk with 5-iteration RL edge branch (speinet.py:128-132)
+        # RL edge branches (speinet.py:128-129 mid x5; :81 neighbors x1),
+        # neighbors batched into one call
         kernel = box_kernel(5, dtype=jnp.float32)
-        mid = frame_list[self.n_sequence // 2]
-        deb = richardson_lucy(mid.transpose(0, 3, 1, 2).astype(jnp.float32),
-                              kernel, 5, 0.01).transpose(0, 2, 3, 1)
-        f_mid = self._encode3(mid, train) + self._encode3(deb.astype(mid.dtype), train)
+        mid = frame_list[mid_i]
+        deb_mid = richardson_lucy(mid.transpose(0, 3, 1, 2).astype(jnp.float32),
+                                  kernel, 5, 0.01).transpose(0, 2, 3, 1)
+        deb_nb = []
+        if neighbors:
+            nb_stack = jnp.concatenate([frame_list[i] for i in neighbors], axis=0)
+            deb_all = richardson_lucy(
+                nb_stack.transpose(0, 3, 1, 2).astype(jnp.float32),
+                kernel, 1, 0.01).transpose(0, 2, 3, 1)
+            b = mid.shape[0]
+            deb_nb = [deb_all[k * b : (k + 1) * b] for k in range(len(neighbors))]
 
-        f_fusion = self._process(frame_list, f_mid, train, deterministic)
+        # ALL encoder legs in one batched pass (sharp pyramid + mid + RL(mid)
+        # + each neighbor + RL(neighbor)); the reference runs 7 separate
+        # encoder passes (speinet.py:82-83,125-131)
+        r = self.recons_net
+        b = mid.shape[0]
+        stack = [sharp_frame, mid, deb_mid.astype(self.dtype)]
+        for k, i in enumerate(neighbors):
+            stack.append(frame_list[i])
+            stack.append(deb_nb[k].astype(self.dtype))
+        enc_in = jnp.concatenate(stack, axis=0)
+        lv1_all = r.in_block(enc_in, train=train)
+        lv2_all = r.encoder_first(lv1_all, train=train)
+        lv3_all = r.encoder_second(lv2_all, train=train)
+        sharp_lv1 = lv1_all[:b]
+        sharp_lv2 = lv2_all[:b]
+        sharp_lv3 = lv3_all[:b]
+        f_mid = lv3_all[b : 2 * b] + lv3_all[2 * b : 3 * b]
+        neighbor_feats = [lv3_all[(3 + 2 * k) * b : (4 + 2 * k) * b]
+                          + lv3_all[(4 + 2 * k) * b : (5 + 2 * k) * b]
+                          for k in range(len(neighbors))]
+
+        f_fusion = self._fuse(f_mid, neighbor_feats, deterministic)
         f_fusion = self.fusion(f_fusion)
 
         weight_s, t_lv3, t_lv2, t_lv1 = self.transfer(

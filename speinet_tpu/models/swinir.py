@@ -83,13 +83,14 @@ def window_reverse(win: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm DropPath semantics)."""
 
-    rate: float = 0.0
+    rate: float = 0.0   # default; a call-time rate overrides
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        if self.rate == 0.0 or deterministic:
+    def __call__(self, x, rate=None, deterministic: bool = True):
+        rate = self.rate if rate is None else rate
+        if deterministic or (isinstance(rate, float) and rate == 0.0):
             return x
-        keep = 1.0 - self.rate
+        keep = 1.0 - rate
         rng = self.make_rng("droppath")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
@@ -158,7 +159,8 @@ class SwinBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, y, x_size, deterministic: bool = True):
+    def __call__(self, x, y, x_size, deterministic: bool = True,
+                 drop_rate=None):
         hh, ww = x_size
         b, l, c = x.shape
         ws, ss = self.window_size, self.shift_size
@@ -184,13 +186,13 @@ class SwinBlock(nn.Module):
             yn = jnp.roll(yn, (-ss, -ss), axis=(1, 2))
         mask = shift_attn_mask(hp, wp, ws, ss) if ss > 0 else None
         if ph or pw:
-            pad_mask = np.zeros((1, hp, wp, 1), np.float32)
-            pad_mask[:, hh:, :, :] = 1.0
-            pad_mask[:, :, ww:, :] = 1.0
+            pad_mask = np.zeros((hp, wp), np.float32)
+            pad_mask[hh:, :] = 1.0
+            pad_mask[:, ww:] = 1.0
             if ss > 0:
-                pad_mask = np.roll(pad_mask, (-ss, -ss), axis=(1, 2))
-            pm = window_partition(jnp.asarray(pad_mask), ws).reshape(-1, ws * ws)
-            pm = np.asarray(pm)
+                pad_mask = np.roll(pad_mask, (-ss, -ss), axis=(0, 1))
+            pm = pad_mask.reshape(hp // ws, ws, wp // ws, ws)
+            pm = pm.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
             pmask = np.where(pm[:, None, :] > 0, -100.0, 0.0).astype(np.float32)
             mask = pmask if mask is None else mask + pmask
 
@@ -206,7 +208,7 @@ class SwinBlock(nn.Module):
         out = out.reshape(b, l, c)
 
         dp = DropPath(self.drop_path, name="drop_path")
-        x = shortcut + dp(out, deterministic)
+        x = shortcut + dp(out, drop_rate, deterministic)
         xm = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         hdim = int(c * self.mlp_ratio)
         xm = nn.Dense(hdim, dtype=self.dtype, kernel_init=trunc_normal_init,
@@ -214,7 +216,34 @@ class SwinBlock(nn.Module):
         xm = jax.nn.gelu(xm, approximate=False)
         xm = nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init,
                       name="mlp_fc2")(xm)
-        return x + dp(xm, deterministic)
+        return x + dp(xm, drop_rate, deterministic)
+
+
+class BlockPair(nn.Module):
+    """One W-MSA block followed by one SW-MSA block — the repeating unit of
+    a BasicLayer (swinir.py:382-391 alternates shift 0 / ws//2). Written as
+    a scan body so a depth-6 layer traces this module once instead of six
+    times (compile-time: 72 unrolled blocks took ~10 min to XLA-compile at
+    720p)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    x_size: Tuple[int, int]
+    deterministic: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, drop_rates):
+        x = SwinBlock(self.dim, self.num_heads, self.window_size, 0,
+                      self.mlp_ratio, dtype=self.dtype, name="block_w")(
+            x, y, self.x_size, self.deterministic, drop_rates[0])
+        x = SwinBlock(self.dim, self.num_heads, self.window_size,
+                      self.window_size // 2, self.mlp_ratio, dtype=self.dtype,
+                      name="block_sw")(
+            x, y, self.x_size, self.deterministic, drop_rates[1])
+        return x, None
 
 
 class RSTB(nn.Module):
@@ -232,12 +261,28 @@ class RSTB(nn.Module):
     @nn.compact
     def __call__(self, x, y, x_size, deterministic: bool = True):
         res = x
-        for i in range(self.depth):
-            res = SwinBlock(self.dim, self.num_heads, self.window_size,
-                            shift_size=0 if i % 2 == 0 else self.window_size // 2,
-                            mlp_ratio=self.mlp_ratio, drop_path=self.drop_path[i],
-                            dtype=self.dtype, name=f"block{i}")(res, y, x_size,
-                                                                deterministic)
+        if self.depth % 2 == 0 and self.depth >= 2:
+            # scan over W/SW block pairs: params gain a leading [depth//2] axis
+            n_pairs = self.depth // 2
+            rates = jnp.asarray(np.asarray(self.drop_path, np.float32)
+                                .reshape(n_pairs, 2))
+            scan = nn.scan(
+                BlockPair,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "droppath": True},
+                in_axes=(nn.broadcast, 0),
+                length=n_pairs,
+            )(self.dim, self.num_heads, self.window_size, self.mlp_ratio,
+              tuple(x_size), deterministic, self.dtype, name="pairs")
+            res, _ = scan(res, y, rates)
+        else:   # odd depth: unrolled fallback
+            for i in range(self.depth):
+                res = SwinBlock(self.dim, self.num_heads, self.window_size,
+                                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                                mlp_ratio=self.mlp_ratio,
+                                drop_path=float(self.drop_path[i]),
+                                dtype=self.dtype, name=f"block{i}")(
+                    res, y, x_size, deterministic)
         hh, ww = x_size
         b, l, c = res.shape
         img = res.reshape(b, hh, ww, c).astype(self.dtype)

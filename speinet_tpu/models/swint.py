@@ -62,16 +62,18 @@ class SWINT(nn.Module):
         frame_list = [nhwc[:, i].astype(self.dtype) for i in range(self.n_sequence)]
         r = self.recons_net
         f_mid = r.encode3(frame_list[self.n_sequence // 2], train=train)
-        f_fusion = f_mid
-        for i in range(self.n_sequence):
-            if i == self.n_sequence // 2:
-                continue
-            feature = r.encode3(frame_list[i], train=train)
-            f_trans = self.swin(f_mid, feature, deterministic=deterministic)
-            f_fusion = jnp.concatenate([f_fusion, f_trans], axis=-1)
-        if self.n_sequence == 1:
-            f_trans = self.swin(f_mid, f_mid, deterministic=deterministic)
-            f_fusion = f_fusion + f_trans
+        neighbors = [i for i in range(self.n_sequence) if i != self.n_sequence // 2]
+        if not neighbors:
+            f_fusion = f_mid + self.swin(f_mid, f_mid, deterministic=deterministic)
+        else:
+            feats = [r.encode3(frame_list[i], train=train) for i in neighbors]
+            b = f_mid.shape[0]
+            x_in = jnp.concatenate([f_mid] * len(neighbors), axis=0)
+            y_in = jnp.concatenate(feats, axis=0)
+            f_trans = self.swin(x_in, y_in, deterministic=deterministic)
+            f_fusion = jnp.concatenate(
+                [f_mid] + [f_trans[k * b : (k + 1) * b] for k in range(len(neighbors))],
+                axis=-1)
         f_fusion = self.conv(f_fusion)
         out = r.out_block(r.decoder_first(r.decoder_second(f_fusion, train), train), train)
         return out.transpose(0, 3, 1, 2).astype(jnp.float32)

@@ -1,0 +1,106 @@
+"""Pallas TPU kernel: fused patch-correlation online max/argmax.
+
+The hot search step of SearchTransfer (SearchTransfer.py:26-34) is
+    R = ref_n @ lr_n          # [Lr, L] cosine correlations
+    S, idx = max/argmax over the Lr axis
+with Lr = L = (H/4)(W/4) (57,600 at 720p) and D = C*9 = 1152. The full R
+never fits on chip (13 GB at 720p); this kernel streams reference chunks
+through VMEM while keeping a running max/argmax per lr position —
+flash-attention-style, one pass, zero HBM traffic for R.
+
+Grid: (B, L/TL, Lr/TK). TPU grids execute the trailing axis sequentially
+per core, so VMEM scratch carries the running best across the Lr chunks;
+Pallas double-buffers the ref-chunk DMAs automatically. The MXU does the
+[TK, D] x [D, TL] product per step.
+
+Tie-breaking matches torch.max: first index wins (within-chunk argmax
+returns the first maximum; across chunks the update is strictly >).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _corr_kernel(lr_ref, ref_ref, s_ref, idx_ref, best, best_idx, *,
+                 tk: int, l_ref_true: int):
+    k = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        best[:] = jnp.full_like(best, -jnp.inf)
+        best_idx[:] = jnp.zeros_like(best_idx)
+
+    r = jnp.dot(ref_ref[0], lr_ref[0], preferred_element_type=jnp.float32)
+    # mask padded reference rows
+    row_ids = k * tk + jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
+    r = jnp.where(row_ids < l_ref_true, r, -jnp.inf)
+
+    cmax = jnp.max(r, axis=0)                          # [TL]
+    carg = jnp.argmax(r, axis=0).astype(jnp.int32) + k * tk
+    upd = cmax > best[0]
+    best[0] = jnp.where(upd, cmax, best[0])
+    best_idx[0] = jnp.where(upd, carg, best_idx[0])
+
+    @pl.when(k == n_k - 1)
+    def _():
+        s_ref[0] = best[0]
+        idx_ref[0] = best_idx[0]
+
+
+@functools.partial(jax.jit, static_argnames=("tl", "tk"))
+def correlation_argmax_pallas(lr_n: jnp.ndarray, ref_n: jnp.ndarray,
+                              tl: int = 512, tk: int = 512
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """lr_n: [B, D, L] column-normalized; ref_n: [B, Lr, D] row-normalized.
+
+    Returns (S [B, L] float32, idx [B, L] int32) — drop-in equivalent of
+    models.search_transfer.correlation_argmax.
+    """
+    b, d, l = lr_n.shape
+    l_ref = ref_n.shape[1]
+    lp = -(-l // tl) * tl
+    kp = -(-l_ref // tk) * tk
+    lr_p = jnp.pad(lr_n, ((0, 0), (0, 0), (0, lp - l)))
+    ref_p = jnp.pad(ref_n, ((0, 0), (0, kp - l_ref), (0, 0)))
+
+    kernel = functools.partial(_corr_kernel, tk=tk, l_ref_true=l_ref)
+    grid = (b, lp // tl, kp // tk)
+    s, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, tl), lambda bi, li, ki: (bi, 0, li),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda bi, li, ki: (bi, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tl), lambda bi, li, ki: (bi, li),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tl), lambda bi, li, ki: (bi, li),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lp), jnp.float32),
+            jax.ShapeDtypeStruct((b, lp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tl), jnp.float32),
+            pltpu.VMEM((1, tl), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * lp * kp * d,
+            bytes_accessed=(b * d * lp + b * kp * d) * lr_n.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(lr_p, ref_p)
+    return s[:, :l], idx[:, :l]

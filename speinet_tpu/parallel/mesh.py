@@ -35,6 +35,17 @@ def make_mesh(dp_devices: int = 0, devices=None) -> Mesh:
     return Mesh(devs, axis_names=("dp",))
 
 
+def make_mesh_for_batch(batch_size: int, dp_devices: int = 0, devices=None) -> Mesh:
+    """Mesh whose dp size divides the global batch (largest such divisor)."""
+    devs = list(devices if devices is not None else jax.devices())
+    if dp_devices and dp_devices > 0:
+        devs = devs[:dp_devices]
+    n = len(devs)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(devs[:n], axis_names=("dp",))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'dp'."""
     return NamedSharding(mesh, P("dp"))
