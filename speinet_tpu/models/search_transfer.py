@@ -124,7 +124,9 @@ class TransferUnit(nn.Module):
 
         lr_n = _l2_normalize(lr_unfold.astype(jnp.float32), axis=1)
         ref_n = _l2_normalize(ref_unfold.astype(jnp.float32), axis=2)
-        if self.use_pallas and jax.default_backend() == "tpu":
+        from speinet_tpu.models.swinir import _fused_enabled
+
+        if self.use_pallas and _fused_enabled():
             from speinet_tpu.ops.pallas_corr import correlation_argmax_pallas
 
             s, idx = correlation_argmax_pallas(lr_n, ref_n)

@@ -97,41 +97,123 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
+def _fused_enabled() -> bool:
+    """Pallas fused kernels: TPU backend only, honoring the current default
+    device (a CPU-pinned computation inside a TPU process must not take the
+    Mosaic path) and the SPEINET_NO_FUSED escape hatch."""
+    import os
+
+    if os.environ.get("SPEINET_NO_FUSED"):
+        return False
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
+def layer_norm(x, scale, bias, eps: float = 1e-5):
+    """LayerNorm over the last axis, f32 math (torch eps=1e-5,
+    parity: swinir.py norm_layer=nn.LayerNorm)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+class LNParams(nn.Module):
+    """Parameter holder with nn.LayerNorm's tree layout ({scale, bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
+
+
+class DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's tree layout ({kernel, bias}) so the
+    same weights serve both the XLA path and the fused Pallas kernel."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", trunc_normal_init,
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class WindowCrossAttention(nn.Module):
-    """Windowed MHA; Q from `y`, K/V from `x` (parity: swinir.py:64-149)."""
+    """Windowed MHA; Q from `y`, K/V from `x` (parity: swinir.py:64-149).
+
+    Operates on image layout [B, Hp, Wp, C] (already normalized, rolled,
+    padded); window partition/reverse happen inside, which lets the fused
+    Pallas path absorb them into block indexing on TPU.
+    """
 
     dim: int
     window_size: Tuple[int, int]
     num_heads: int
     qkv_bias: bool = True
+    use_fused: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, y, mask=None):
-        # x, y: [B_, N, C]; mask: [nW, N, N] numpy/jnp or None
-        b_, n, c = x.shape
+    def __call__(self, x_img, y_img, mask=None, shift: int = 0,
+                 pad_h: int = 0, pad_w: int = 0, deterministic: bool = True,
+                 ln=None):
+        # x_img, y_img: [B, Hp, Wp, C] RAW (rolled/padded); `ln` holds the
+        # shared norm1 (scale, bias) applied to both streams
+        b, hp, wp, c = x_img.shape
         h = self.num_heads
         hd = c // h
         scale = hd ** -0.5
-        kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                      kernel_init=trunc_normal_init, name="qkv_x")(x)
-        q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype,
-                     kernel_init=trunc_normal_init, name="qkv_y")(y)
+        ws = self.window_size[0]
+        n = ws * ws
+
+        wkv, bkv = DenseParams(c, 2 * c, name="qkv_x")()
+        wq, bq = DenseParams(c, c, name="qkv_y")()
+        wproj, bproj = DenseParams(c, c, name="proj")()
+        wh, ww = self.window_size
+        table = self.param("relative_position_bias_table", trunc_normal_init,
+                           ((2 * wh - 1) * (2 * ww - 1), h), jnp.float32)
+        idx = relative_position_index(wh, ww)
+        bias = table[np.asarray(idx).reshape(-1)].reshape(n, n, h)
+        bias = bias.transpose(2, 0, 1)                         # [h, N, N]
+
+        fused_ok = (self.use_fused and deterministic and _fused_enabled()
+                    and hp % ws == 0 and wp % ws == 0)
+        if fused_ok:
+            from speinet_tpu.ops.pallas_swin import fused_window_cross_attention
+
+            return fused_window_cross_attention(
+                x_img.astype(self.dtype), y_img.astype(self.dtype),
+                ln[0], ln[1], wkv, bkv, wq, bq, wproj, bproj, bias,
+                ws=ws, shift=shift, pad_h=pad_h, pad_w=pad_w, heads=h)
+
+        # --- XLA path (training + CPU) ---
+        if ln is not None:
+            x_img = layer_norm(x_img, ln[0], ln[1]).astype(self.dtype)
+            y_img = layer_norm(y_img, ln[0], ln[1]).astype(self.dtype)
+        xw = window_partition(x_img, ws)                       # [B_, N, C]
+        yw = window_partition(y_img, ws)
+        b_ = xw.shape[0]
+        kv = xw @ wkv.astype(self.dtype) + bkv.astype(self.dtype)
+        q = yw @ wq.astype(self.dtype) + bq.astype(self.dtype)
         k, v = jnp.split(kv, 2, axis=-1)
         q = q.reshape(b_, n, h, hd).transpose(0, 2, 1, 3) * scale
         k = k.reshape(b_, n, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b_, n, h, hd).transpose(0, 2, 1, 3)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)            # [B_, h, N, N]
-
-        wh, ww = self.window_size
-        table = self.param("relative_position_bias_table", trunc_normal_init,
-                           ((2 * wh - 1) * (2 * ww - 1), h), jnp.float32)
-        idx = relative_position_index(wh, ww)
-        bias = table[np.asarray(idx).reshape(-1)].reshape(wh * ww, wh * ww, h)
-        bias = bias.transpose(2, 0, 1)                         # [h, N, N]
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)             # [B_, h, N, N]
         attn = attn + bias[None].astype(attn.dtype)
-
         if mask is not None:
             nw = mask.shape[0]
             attn = attn.reshape(b_ // nw, nw, h, n, n)
@@ -141,9 +223,8 @@ class WindowCrossAttention(nn.Module):
 
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        out = nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init,
-                       name="proj")(out)
-        return out
+        out = out @ wproj.astype(self.dtype) + bproj.astype(self.dtype)
+        return window_reverse(out, ws, hp, wp)
 
 
 class SwinBlock(nn.Module):
@@ -169,38 +250,48 @@ class SwinBlock(nn.Module):
             ws = min(hh, ww)
 
         shortcut = x
-        norm1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
-        xn = norm1(x).reshape(b, hh, ww, c).astype(self.dtype)
-        yn = norm1(y).reshape(b, hh, ww, c).astype(self.dtype)
+        ln1_scale, ln1_bias = LNParams(c, name="norm1")()
+        ln2_scale, ln2_bias = LNParams(c, name="norm2")()
+        hdim = int(c * self.mlp_ratio)
+        w1, b1 = DenseParams(c, hdim, name="mlp_fc1")()
+        w2, b2 = DenseParams(hdim, c, name="mlp_fc2")()
+        attn_mod = WindowCrossAttention(self.dim, (ws, ws), self.num_heads,
+                                        dtype=self.dtype, name="attn")
 
-        # pad to window multiples (masked out below); no-op for published sizes
+        fused = (deterministic and _fused_enabled())
+
         ph = (-hh) % ws
         pw = (-ww) % ws
-        if ph or pw:
-            xn = jnp.pad(xn, ((0, 0), (0, ph), (0, pw), (0, 0)))
-            yn = jnp.pad(yn, ((0, 0), (0, ph), (0, pw), (0, 0)))
         hp, wp = hh + ph, ww + pw
 
-        if ss > 0:
-            xn = jnp.roll(xn, (-ss, -ss), axis=(1, 2))
-            yn = jnp.roll(yn, (-ss, -ss), axis=(1, 2))
-        mask = shift_attn_mask(hp, wp, ws, ss) if ss > 0 else None
+        # pad/roll the RAW images; norm1 runs inside the attention module
+        # (LN is per-token, so it commutes with roll; padded tokens are
+        # masked out of the softmax and cropped afterwards)
+        xi = x.reshape(b, hh, ww, c)
+        yi = y.reshape(b, hh, ww, c)
         if ph or pw:
-            pad_mask = np.zeros((hp, wp), np.float32)
-            pad_mask[hh:, :] = 1.0
-            pad_mask[:, ww:] = 1.0
-            if ss > 0:
-                pad_mask = np.roll(pad_mask, (-ss, -ss), axis=(0, 1))
-            pm = pad_mask.reshape(hp // ws, ws, wp // ws, ws)
-            pm = pm.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
-            pmask = np.where(pm[:, None, :] > 0, -100.0, 0.0).astype(np.float32)
-            mask = pmask if mask is None else mask + pmask
+            xi = jnp.pad(xi, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            yi = jnp.pad(yi, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        if ss > 0:
+            xi = jnp.roll(xi, (-ss, -ss), axis=(1, 2))
+            yi = jnp.roll(yi, (-ss, -ss), axis=(1, 2))
 
-        xw = window_partition(xn, ws)
-        yw = window_partition(yn, ws)
-        attn = WindowCrossAttention(self.dim, (ws, ws), self.num_heads,
-                                    dtype=self.dtype, name="attn")(xw, yw, mask)
-        out = window_reverse(attn, ws, hp, wp)
+        mask = None
+        if not fused:
+            mask = shift_attn_mask(hp, wp, ws, ss) if ss > 0 else None
+            if ph or pw:
+                pad_mask = np.zeros((hp, wp), np.float32)
+                pad_mask[hh:, :] = 1.0
+                pad_mask[:, ww:] = 1.0
+                if ss > 0:
+                    pad_mask = np.roll(pad_mask, (-ss, -ss), axis=(0, 1))
+                pm = pad_mask.reshape(hp // ws, ws, wp // ws, ws)
+                pm = pm.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+                pmask = np.where(pm[:, None, :] > 0, -100.0, 0.0).astype(np.float32)
+                mask = pmask if mask is None else mask + pmask
+        out = attn_mod(xi, yi, mask, shift=ss, pad_h=ph, pad_w=pw,
+                       deterministic=deterministic, ln=(ln1_scale, ln1_bias))
+
         if ss > 0:
             out = jnp.roll(out, (ss, ss), axis=(1, 2))
         if ph or pw:
@@ -209,13 +300,16 @@ class SwinBlock(nn.Module):
 
         dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(out, drop_rate, deterministic)
-        xm = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
-        hdim = int(c * self.mlp_ratio)
-        xm = nn.Dense(hdim, dtype=self.dtype, kernel_init=trunc_normal_init,
-                      name="mlp_fc1")(xm)
+
+        if fused:
+            from speinet_tpu.ops.pallas_swin import fused_ln_mlp
+
+            return fused_ln_mlp(x.astype(self.dtype), ln2_scale, ln2_bias,
+                                w1, b1, w2, b2)
+        xm = layer_norm(x, ln2_scale, ln2_bias).astype(self.dtype)
+        xm = xm @ w1.astype(self.dtype) + b1.astype(self.dtype)
         xm = jax.nn.gelu(xm, approximate=False)
-        xm = nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init,
-                      name="mlp_fc2")(xm)
+        xm = xm @ w2.astype(self.dtype) + b2.astype(self.dtype)
         return x + dp(xm, drop_rate, deterministic)
 
 

@@ -100,12 +100,16 @@ def test_train_step_dp_mesh(rng):
     state = jax.device_put(state, replicate_sharding(mesh))
     step = make_train_step(cfg, model, tx, mesh=mesh)
 
+    p0 = np.asarray(jax.device_get(
+        state.params["fusion"]["kernel"])).copy()
     losses = []
     for i in range(3):
         state, total, comps = step(state, xj, gtj, jax.random.PRNGKey(i))
         losses.append(float(total))
     assert all(np.isfinite(losses))
-    assert losses[-1] < losses[0]         # optimizer is actually stepping
+    p1 = np.asarray(jax.device_get(state.params["fusion"]["kernel"]))
+    # optimizer is actually stepping: Adam moves params by ~lr per step
+    assert np.abs(p1 - p0).max() > 1e-5
     assert int(state.step) == 3
 
 
