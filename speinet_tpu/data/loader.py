@@ -60,7 +60,10 @@ class BatchIterator:
                 gts = np.stack([s[1] for s in samples])
                 labels = np.stack([s[2] for s in samples])
                 names = [s[3] for s in samples]
-                yield inputs, gts, labels, names
+                if len(samples[0]) > 4:      # bm mode: 5th stream
+                    yield inputs, gts, labels, names, np.stack([s[4] for s in samples])
+                else:
+                    yield inputs, gts, labels, names
 
 
 def prefetch_to_device(iterator, sharding=None, depth: int = 2):
@@ -95,19 +98,36 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
         yield item
 
 
+DATASET_MODES = {
+    # name-based dataset dispatch (parity: data/__init__.py:41-42 dynamic
+    # import of data.<name>): DVD_NFS -> videodata_nfs.py semantics,
+    # DVD -> videodata.py (blur-map stream), DVD_ORI -> videodata-ori.py
+    "DVD_NFS": "nsf",
+    "DVD": "bm",
+    "DVD_ORI": "plain",
+}
+
+
+def make_dataset(cfg: Config, name: str, train: bool) -> VideoDataset:
+    mode = DATASET_MODES.get(name.upper())
+    if mode is None:
+        raise NotImplementedError(f"Dataset [{name}] is not found")
+    return VideoDataset(cfg, name=name, train=train, mode=mode)
+
+
 class Data:
     """Train + test loaders (parity: data/__init__.py:33-66)."""
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
         if not cfg.test_only:
-            trainset = VideoDataset(cfg, name=cfg.data_train, train=True)
+            trainset = make_dataset(cfg, cfg.data_train, train=True)
             self.loader_train = BatchIterator(trainset, cfg.batch_size,
                                               shuffle=True, seed=cfg.seed,
                                               n_threads=cfg.n_threads,
                                               drop_last=True)
         else:
             self.loader_train = None
-        testset = VideoDataset(cfg, name=cfg.data_test, train=False)
+        testset = make_dataset(cfg, cfg.data_test, train=False)
         self.loader_test = BatchIterator(testset, 1, shuffle=False,
                                          seed=cfg.seed, n_threads=cfg.n_threads)

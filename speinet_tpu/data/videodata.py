@@ -67,21 +67,30 @@ def data_augment(*arrays: np.ndarray, rng: np.random.Generator) -> List[np.ndarr
 
 @dataclass
 class Sample:
-    inputs: np.ndarray    # [5, 3, H, W] float32 (or [n_seq+2, ...])
+    inputs: np.ndarray    # [5, 3, H, W] float32 (or [n_seq, ...] in plain mode)
     gt: np.ndarray        # [3, 3, H, W]
     labels: np.ndarray    # [n_seq]
     filenames: List[str]
+    blur_maps: Optional[np.ndarray] = None   # [n_seq, H, W] in bm mode
 
 
 class VideoDataset:
-    """Parity: data/videodata_nfs.py:VIDEODATA."""
+    """Parity: data/videodata_nfs.py:VIDEODATA (mode='nsf', default).
+
+    mode='bm'    loads a 4th `Blur_map/` stream alongside labels (legacy
+                 DVD dataset for SWINT, data/videodata.py) — blur maps are
+                 returned but, as in the reference, not consumed by the
+                 model forward.
+    mode='plain' 3-frame windows only, no labels/sharp frames
+                 (data/videodata-ori.py).
+    """
 
     def __init__(self, cfg: Config, name: str = "", train: bool = True,
-                 blur_map: bool = False):
+                 mode: str = "nsf"):
         self.cfg = cfg
         self.name = name
         self.train = train
-        self.blur_map = blur_map
+        self.mode = mode
         self.n_seq = cfg.n_sequence
         root = cfg.dir_data if train else cfg.dir_data_test
         self.dir_gt = os.path.join(root, "gt")
@@ -101,14 +110,28 @@ class VideoDataset:
     def _scan(self):
         vid_gt = sorted(glob.glob(os.path.join(self.dir_gt, "*")))
         vid_in = sorted(glob.glob(os.path.join(self.dir_input, "*")))
+        limit = self.cfg.n_frames_per_video if self.train else None
+        images_gt, images_input, images_label = [], [], []
+        pre_all, sub_all = [], []
+        if self.mode == "plain":
+            if len(vid_gt) != len(vid_in):
+                raise FileNotFoundError("gt/blur video count mismatch")
+            for g, b in zip(vid_gt, vid_in):
+                gts = sorted(glob.glob(os.path.join(g, "*")))[:limit]
+                ins = sorted(glob.glob(os.path.join(b, "*")))[:limit]
+                images_gt.append(gts)
+                images_input.append(ins)
+                images_label.append(np.zeros(len(gts), np.int64))
+                pre_all.append([0] * len(gts))
+                sub_all.append([0] * len(gts))
+                self.n_frames_video.append(len(gts))
+            return images_gt, images_input, images_label, pre_all, sub_all
         vid_lab = sorted(glob.glob(os.path.join(self.dir_label, "*")))
         if not (len(vid_gt) == len(vid_in) == len(vid_lab)):
             raise FileNotFoundError(
                 f"dataset mismatch: {len(vid_gt)} gt / {len(vid_in)} blur / "
                 f"{len(vid_lab)} label videos under {os.path.dirname(self.dir_gt)}")
-        images_gt, images_input, images_label = [], [], []
-        pre_all, sub_all = [], []
-        limit = self.cfg.n_frames_per_video if self.train else None
+        self.images_bm = []
         for g, b, l in zip(vid_gt, vid_in, vid_lab):
             gts = sorted(glob.glob(os.path.join(g, "*")))[:limit]
             ins = sorted(glob.glob(os.path.join(b, "*")))[:limit]
@@ -120,6 +143,9 @@ class VideoDataset:
             pre_all.append(pre)
             sub_all.append(sub)
             self.n_frames_video.append(len(gts))
+            if self.mode == "bm":
+                bm_dir = os.path.join(self.dir_bm, os.path.basename(g))
+                self.images_bm.append(sorted(glob.glob(os.path.join(bm_dir, "*")))[:limit])
         return images_gt, images_input, images_label, pre_all, sub_all
 
     def _preload(self):
@@ -159,17 +185,24 @@ class VideoDataset:
         f_labels = self.images_label[v][f : f + self.n_seq]
         f_gts = self.images_gt[v][f : f + self.n_seq]
         f_inputs = list(self.images_input[v][f : f + self.n_seq])
-        f_inputs.append(self.images_input[v][self.pre_idx[v][f]])
-        f_inputs.append(self.images_input[v][self.sub_idx[v][f]])
+        if self.mode != "plain":
+            f_inputs.append(self.images_input[v][self.pre_idx[v][f]])
+            f_inputs.append(self.images_input[v][self.sub_idx[v][f]])
         filenames = [
             os.path.split(os.path.dirname(p))[-1] + "." +
             os.path.splitext(os.path.basename(p))[0] for p in f_inputs]
         gts = np.stack([self._imread(p) for p in f_gts])
         inputs = np.stack([self._imread(p) for p in f_inputs])
-        nums = [frame_number(n) for n in filenames]
-        if abs(nums[2] - nums[3]) > 7:
-            inputs[-2] = 0  # zero the pre-sharp frame (videodata_nfs.py:254-255)
-        return Sample(inputs, gts, np.asarray(f_labels, np.float32), filenames)
+        if self.mode != "plain":
+            nums = [frame_number(n) for n in filenames]
+            if abs(nums[2] - nums[3]) > 7:
+                inputs[-2] = 0  # zero the pre-sharp frame (videodata_nfs.py:254-255)
+        bms = None
+        if self.mode == "bm":
+            bms = np.stack([np.atleast_3d(self._imread(p))[..., 0]
+                            for p in self.images_bm[v][f : f + self.n_seq]])
+        return Sample(inputs, gts, np.asarray(f_labels, np.float32), filenames,
+                      blur_maps=bms)
 
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
         """Crop/augment/normalize (parity: videodata_nfs.py:180-207,276-288).
@@ -180,6 +213,8 @@ class VideoDataset:
         s = self.load_window(idx)
         smm = self.cfg.size_must_mode
         frames = list(s.inputs) + list(s.gt)
+        if s.blur_maps is not None:
+            frames += [bm[..., None] for bm in s.blur_maps]
         if self.train:
             frames = get_patch(*frames, patch_size=self.cfg.patch_size, rng=rng)
             h, w = frames[0].shape[:2]
@@ -191,7 +226,12 @@ class VideoDataset:
             h, w = frames[0].shape[:2]
             nh, nw = h - h % smm, w - w % smm
             frames = [f[:nh, :nw] for f in frames]
-        k = self.n_seq + 2
+        k = self.n_seq if self.mode == "plain" else self.n_seq + 2
         inputs = np.stack([np2float(f, self.cfg.rgb_range) for f in frames[:k]])
-        gt = np.stack([np2float(f, self.cfg.rgb_range) for f in frames[k:]])
+        gt = np.stack([np2float(f, self.cfg.rgb_range)
+                       for f in frames[k : k + self.n_seq]])
+        if s.blur_maps is not None:
+            bms = np.stack([np2float(f, self.cfg.rgb_range)
+                            for f in frames[k + self.n_seq :]])
+            return inputs, gt, s.labels, s.filenames, bms
         return inputs, gt, s.labels, s.filenames

@@ -144,17 +144,29 @@ def main(argv=None):
     p.add_argument("--out-dir", default="./pickle")
     p.add_argument("--csv", default="output.csv")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--grid", action="store_true",
+                   help="sweep ratios x kernel sizes (parity: run_detector.sh)")
     args = p.parse_args(argv)
-    if args.pregenerated:
-        x, y = collate_pregenerated(args.dir_path, args.kernel_size)
+
+    if args.grid:
+        # parity: LD_detector/run_detector.sh grid of 8 ratios x 7 kernels
+        ratios = [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.4, 0.5]
+        kernels = [3, 5, 7, 9, 11, 13, 15]
+        combos = [(r, k) for r in ratios for k in kernels]
     else:
-        x, y = collate_synthetic(args.dir_path, args.ratio, args.kernel_size,
-                                 args.seed)
-    res = train_detectors(x, y, args.out_dir, args.ratio, args.kernel_size,
-                          seed=args.seed, csv_path=args.csv)
-    for name, m in res.items():
-        print(f"{name}: acc={m['accuracy']:.4f} recall={m['recall']:.4f} "
-              f"precision={m['precision']:.4f} f1={m['f1']:.4f}")
+        combos = [(args.ratio, args.kernel_size)]
+
+    for ratio, kernel in combos:
+        if args.pregenerated:
+            x, y = collate_pregenerated(args.dir_path, kernel)
+        else:
+            x, y = collate_synthetic(args.dir_path, ratio, kernel, args.seed)
+        res = train_detectors(x, y, args.out_dir, ratio, kernel,
+                              seed=args.seed, csv_path=args.csv)
+        for name, m in res.items():
+            print(f"[ratio={ratio} k={kernel}] {name}: "
+                  f"acc={m['accuracy']:.4f} recall={m['recall']:.4f} "
+                  f"precision={m['precision']:.4f} f1={m['f1']:.4f}")
 
 
 if __name__ == "__main__":

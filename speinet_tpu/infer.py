@@ -48,10 +48,34 @@ class TraverseLogger:
         self.f.flush()
 
 
+def forward_x8(x: jnp.ndarray, fwd) -> jnp.ndarray:
+    """8-way flip/rotation self-ensemble (capability parity:
+    util/network_utils.py:308-341). x: [B, T, C, H, W]."""
+    outs = []
+    for tf in range(8):
+        xt = x
+        if tf & 1:
+            xt = jnp.flip(xt, -1)
+        if tf & 2:
+            xt = jnp.flip(xt, -2)
+        if tf & 4:
+            xt = jnp.swapaxes(xt, -1, -2)
+        y = fwd(xt)
+        if tf & 4:
+            y = jnp.swapaxes(y, -1, -2)
+        if tf & 2:
+            y = jnp.flip(y, -2)
+        if tf & 1:
+            y = jnp.flip(y, -1)
+        outs.append(y)
+    return jnp.mean(jnp.stack(outs), axis=0)
+
+
 class Inference:
     def __init__(self, cfg: Config, data_path: str, model_path: str,
                  result_path: str, save_image: bool = True, border: bool = True,
-                 detector_pickle: Optional[str] = None):
+                 detector_pickle: Optional[str] = None,
+                 self_ensemble: bool = False):
         self.cfg = cfg
         self.n_seq = cfg.n_sequence
         self.size_must_mode = cfg.size_must_mode
@@ -60,6 +84,7 @@ class Inference:
         self.data_path = data_path
         self.result_path = result_path
         self.detector_pickle = detector_pickle
+        self.self_ensemble = self_ensemble
         os.makedirs(result_path, exist_ok=True)
         self.input_path = os.path.join(data_path, "blur")
         self.gt_path = os.path.join(data_path, "gt")
@@ -163,7 +188,8 @@ class Inference:
                 x = np.stack([im.transpose(2, 0, 1) for im in inputs])[None]
                 x = jnp.asarray(x.astype(np.float32) * (self.cfg.rgb_range / 255.0))
                 t_pre = time.time()
-                out = (self._fwd_chop(x) if self.cfg.chop else self._fwd(x))
+                fwd = self._fwd_chop if self.cfg.chop else self._fwd
+                out = forward_x8(x, fwd) if self.self_ensemble else fwd(x)
                 out.block_until_ready()
                 t_fwd = time.time()
                 img = np.asarray(jnp.clip(jnp.round(
@@ -217,13 +243,24 @@ def main(argv=None):
     p.add_argument("--model_path", type=str, default="")
     p.add_argument("--result_path", type=str, default="./infer_results")
     p.add_argument("--detector_pickle", type=str, default="")
+    p.add_argument("--self_ensemble", action="store_true",
+                   help="8-way flip/rot ensemble (forward_x8)")
+    p.add_argument("--profile", type=str, default="",
+                   help="write a jax.profiler trace to this directory")
     args = p.parse_args(argv)
 
     cfg = set_template(Config(template="SPEINet")).replace(chop=args.chop)
     inf = Inference(cfg, args.data_path, args.model_path, args.result_path,
                     save_image=args.save_image, border=args.border,
-                    detector_pickle=args.detector_pickle or None)
-    inf.infer()
+                    detector_pickle=args.detector_pickle or None,
+                    self_ensemble=args.self_ensemble)
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            inf.infer()
+    else:
+        inf.infer()
 
 
 if __name__ == "__main__":

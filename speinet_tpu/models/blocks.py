@@ -121,26 +121,25 @@ class SEBlock(nn.Module):
 
 
 class AttentionGate(nn.Module):
-    """ZPool -> conv(2->1, k, no bias) -> BatchNorm -> gate.
+    """conv(2->1, k, no bias) -> BatchNorm on an already-pooled plane.
 
     Parity: block.py:75-96 (AttentionGate1 k=7, AttentionGate2 k=5; the
     BasicConv1 there has relu=False so neither ReLU nor sigmoid applies —
-    the gate is the raw batch-normed conv output).
+    the gate is the raw batch-normed conv output). The ZPool happens in
+    TripletAttention so that only the tiny pooled plane is convolved.
     """
 
     kernel_size: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):  # [B, H, W, C]
-        z = jnp.concatenate([jnp.max(x, axis=-1, keepdims=True),
-                             jnp.mean(x, axis=-1, keepdims=True)], axis=-1)
+    def __call__(self, pooled, train: bool = False):  # [B, A1, A2, 2]
         z = nn.Conv(1, (self.kernel_size, self.kernel_size),
                     padding=(self.kernel_size - 1) // 2, use_bias=False,
-                    dtype=self.dtype)(z)
+                    dtype=self.dtype)(pooled)
         z = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-5, dtype=jnp.float32)(z.astype(jnp.float32))
-        return x * z.astype(x.dtype)
+        return z
 
 
 class TripletAttention(nn.Module):
@@ -148,7 +147,12 @@ class TripletAttention(nn.Module):
 
     In the reference's NCHW terms, branch `cw` gates over the W axis with a
     7x7 conv on the (H, C) plane and branch `hc` gates over the H axis with
-    a 5x5 conv on the (C, W) plane; outputs are summed.
+    a 5x5 conv on the (C, W) plane; outputs are summed. The reference
+    permutes the FULL tensor twice per branch (block.py:118-119); since the
+    gate depends only on the max/mean over the gated axis, pooling first
+    shrinks everything downstream to a [B, A1, A2, 2] plane — no
+    full-tensor transposes, and the two gated products collapse into one
+    broadcast multiply-add.
     """
 
     dtype: Dtype = jnp.float32
@@ -158,15 +162,19 @@ class TripletAttention(nn.Module):
         self.hc = AttentionGate(kernel_size=5, dtype=self.dtype)
 
     def __call__(self, x, train: bool = False):  # [B, H, W, C]
-        # cw: channels := W, spatial := (H, C)  -> NHWC tensor [B, H, C, W]
-        xw = jnp.transpose(x, (0, 1, 3, 2))
-        xw = self.cw(xw, train=train)
-        xw = jnp.transpose(xw, (0, 1, 3, 2))
-        # hc: channels := H, spatial := (C, W)  -> NHWC tensor [B, C, W, H]
-        xh = jnp.transpose(x, (0, 3, 2, 1))
-        xh = self.hc(xh, train=train)
-        xh = jnp.transpose(xh, (0, 3, 2, 1))
-        return xw + xh
+        xf = x.astype(jnp.float32)
+        # cw: pool over W -> plane (H, C); gate broadcast over W
+        pool_cw = jnp.stack([jnp.max(xf, axis=2), jnp.mean(xf, axis=2)],
+                            axis=-1)                     # [B, H, C, 2]
+        gate_cw = self.cw(pool_cw.astype(self.dtype), train=train)  # [B,H,C,1]
+        # hc: pool over H -> plane (C, W); gate broadcast over H
+        pool_hc = jnp.stack([jnp.max(xf, axis=1), jnp.mean(xf, axis=1)],
+                            axis=-1)                     # [B, W, C, 2]
+        pool_hc = pool_hc.transpose(0, 2, 1, 3)          # [B, C, W, 2]
+        gate_hc = self.hc(pool_hc.astype(self.dtype), train=train)  # [B,C,W,1]
+        g_cw = gate_cw[..., 0][:, :, None, :]            # [B, H, 1, C]
+        g_hc = gate_hc[..., 0].transpose(0, 2, 1)[:, None, :, :]  # [B, 1, W, C]
+        return x * (g_cw + g_hc).astype(x.dtype)
 
 
 class ResBlock(nn.Module):

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from speinet_tpu.ops.patch_ops import unfold, gather_fold
+from speinet_tpu.ops.patch_ops import unfold, gather_fold_nhwc
 from speinet_tpu.ops.resize import bicubic_upsample
 
 Dtype = Any
@@ -136,9 +136,10 @@ class TransferUnit(nn.Module):
         weight_s = s.reshape(b, hh, ww, 1)
 
         # --- SearchTransfer texture path: gather+fold of the sharp pyramid
-        t3_search = gather_fold(sharp3_nchw, idx, 1) / 9.0
-        t2_search = gather_fold(sharp_lv2.transpose(0, 3, 1, 2), idx, 2) / 9.0
-        t1_search = gather_fold(sharp_lv1.transpose(0, 3, 1, 2), idx, 4) / 9.0
+        # (NHWC throughout; bf16 when the model runs bf16)
+        t3_search = gather_fold_nhwc(sharp_lv3, idx, 1) / 9.0
+        t2_search = gather_fold_nhwc(sharp_lv2, idx, 2) / 9.0
+        t1_search = gather_fold_nhwc(sharp_lv1, idx, 4) / 9.0
 
         # --- SelfTransfer texture path (SearchTransfer.py:72-76)
         t3_self = f_fusion
@@ -151,8 +152,8 @@ class TransferUnit(nn.Module):
                                   name="self_search2")(up4.astype(self.dtype)))
 
         sel4 = has_sharp[:, None, None, None]
-        t_lv3 = jnp.where(sel4, t3_search.transpose(0, 2, 3, 1), t3_self)
-        t_lv2 = jnp.where(sel4, t2_search.transpose(0, 2, 3, 1), t2_self)
-        t_lv1 = jnp.where(sel4, t1_search.transpose(0, 2, 3, 1), t1_self)
+        t_lv3 = jnp.where(sel4, t3_search, t3_self)
+        t_lv2 = jnp.where(sel4, t2_search, t2_self)
+        t_lv1 = jnp.where(sel4, t1_search, t1_self)
         return weight_s, t_lv3.astype(self.dtype), t_lv2.astype(self.dtype), \
             t_lv1.astype(self.dtype)

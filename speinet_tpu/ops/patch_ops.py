@@ -71,31 +71,30 @@ def fold(
     return canvas[:, :, p : p + h_out, p : p + w_out]
 
 
-def gather_fold(ref: jnp.ndarray, index: jnp.ndarray, stride: int) -> jnp.ndarray:
-    """Fused `bis(unfold(ref)) -> fold` of the texture-transfer step.
+def gather_fold_nhwc(ref: jnp.ndarray, index: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Fused `bis(unfold(ref)) -> fold` of the texture-transfer step, NHWC.
 
     Equivalent to the reference chain (SearchTransfer.py:36-46):
         ref_unfold = F.unfold(ref, k=3s, stride=s, pad=s)
         T_unfold   = gather(ref_unfold, dim=2, index)    # `bis`
         T          = F.fold(T_unfold, out_size, k=3s, stride=s, pad=s)
-    without materializing ref_unfold. ref: [B, C, nH*s, nW*s];
+    without materializing ref_unfold. ref: [B, nH*s, nW*s, C];
     index: [B, L] int32 with L = nH*nW (argmax over ref patch positions);
-    returns [B, C, nH*s, nW*s] (the caller divides by 9).
+    returns [B, nH*s, nW*s, C] (the caller divides by 9).
 
-    For each of the 9 (di, dj) patch sub-tiles, the contribution is a gather
-    of s x s tiles of `ref` at tile coordinate (idx_h + di, idx_w + dj) in a
-    one-tile-padded grid, placed densely and accumulated with a tile shift.
+    The 9 (di, dj) sub-tiles of each gathered k x k patch are s x s tiles
+    of `ref` at coordinate (idx_h+di, idx_w+dj) in a one-tile-padded grid
+    (channels minor => each gather reads one contiguous [s*s*C] block).
+    The overlap-add reduces to a sum of 9 static slices of the gathered
+    tensor — no scatter, no serialized canvas updates.
     """
     s = stride
-    b, c, hh, ww = ref.shape
+    b, hh, ww, c = ref.shape
     nh, nw = hh // s, ww // s
     l = nh * nw
     assert index.shape[-1] == l
-    # pad one tile on each side (fold padding p = s) and view as tiles with
-    # channels MINOR so each gathered element is one contiguous [s, s, C]
-    # block (a channel-major gather broadcast over C was ~30x slower on TPU)
-    refp = jnp.pad(ref, ((0, 0), (0, 0), (s, s), (s, s)))
-    tiles = refp.reshape(b, c, nh + 2, s, nw + 2, s).transpose(0, 2, 4, 3, 5, 1)
+    refp = jnp.pad(ref, ((0, 0), (s, s), (s, s), (0, 0)))
+    tiles = refp.reshape(b, nh + 2, s, nw + 2, s, c).transpose(0, 1, 3, 2, 4, 5)
     tiles = tiles.reshape(b, (nh + 2) * (nw + 2), s * s * c)
     idx_h = index // nw
     idx_w = index % nw
@@ -106,16 +105,20 @@ def gather_fold(ref: jnp.ndarray, index: jnp.ndarray, stride: int) -> jnp.ndarra
             + idx_w[:, None, :] + offs[None, :, 1:2])            # [B, 9, L]
     g = jnp.take_along_axis(tiles, flat.reshape(b, 9 * l)[:, :, None], axis=1)
     g = g.reshape(b, 3, 3, nh, nw, s, s, c)
-    canvas = jnp.zeros((b, (nh + 2) * s, (nw + 2) * s, c), dtype=ref.dtype)
+    # contribution of (di, dj) lands at output tile (i+di-1, j+dj-1):
+    # out[t] = sum_{di,dj} g[di, dj, t - di + 1, t_w - dj + 1]
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1),
+                     (0, 0), (0, 0), (0, 0)))
+    acc = None
     for di in range(3):
         for dj in range(3):
-            img = g[:, di, dj].transpose(0, 1, 3, 2, 4, 5)       # [B,nh,s,nw,s,C]
-            img = img.reshape(b, nh * s, nw * s, c)
-            canvas = jax.lax.dynamic_update_slice(
-                canvas,
-                jax.lax.dynamic_slice(
-                    canvas, (0, di * s, dj * s, 0), (b, nh * s, nw * s, c)) + img,
-                (0, di * s, dj * s, 0),
-            )
-    out = canvas[:, s : s + nh * s, s : s + nw * s, :]
+            sl = gp[:, di, dj, 2 - di : 2 - di + nh, 2 - dj : 2 - dj + nw]
+            acc = sl if acc is None else acc + sl
+    img = acc.transpose(0, 1, 3, 2, 4, 5).reshape(b, nh * s, nw * s, c)
+    return img
+
+
+def gather_fold(ref: jnp.ndarray, index: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """NCHW wrapper around gather_fold_nhwc (reference tensor convention)."""
+    out = gather_fold_nhwc(ref.transpose(0, 2, 3, 1), index, stride)
     return out.transpose(0, 3, 1, 2)

@@ -87,8 +87,9 @@ class Trainer:
         sharding = batch_sharding(self.mesh)
         n_batches = 0
         t0 = time.time()
-        for batch, (inputs, gts, labels, names) in enumerate(
+        for batch, sample in enumerate(
                 prefetch_to_device(iter(self.data.loader_train), sharding)):
+            inputs, gts = sample[0], sample[1]   # 5-tuples carry blur maps
             gt_center = gts[:, self.cfg.n_sequence // 2]
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, total, comps = self.train_step(self.state, inputs,
@@ -112,7 +113,8 @@ class Trainer:
         n = 0
         params = jax.device_get(self.state.params)
         batch_stats = jax.device_get(self.state.batch_stats)
-        for inputs, gts, labels, names in self.data.loader_test:
+        for sample in self.data.loader_test:
+            inputs, gts, labels, names = sample[0], sample[1], sample[2], sample[3]
             inputs = jnp.asarray(inputs)
             gt = jnp.asarray(gts[:, self.cfg.n_sequence // 2])
             out = self.eval_step(params, batch_stats, inputs)
