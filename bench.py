@@ -34,11 +34,12 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), x_small)
 
     rng = np.random.default_rng(0)
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     yy, xx = np.mgrid[0:h, 0:w]
     base = (0.5 + 0.3 * np.sin(xx / 11.0) * np.cos(yy / 13.0)).astype(np.float32)
     frames = np.stack([np.clip(base + 0.02 * rng.standard_normal((h, w)) + 0.01 * t, 0.02, 1.0)
                        for t in range(5)])
-    x = jnp.asarray(np.broadcast_to(frames[None, :, None], (1, 5, 3, h, w)).copy())
+    x = jnp.asarray(np.broadcast_to(frames[None, :, None], (batch, 5, 3, h, w)).copy())
 
     fwd = jax.jit(lambda inp: model.apply(variables, inp, train=False))
     t0 = time.time()
@@ -53,13 +54,14 @@ def main():
     _ = float(out.sum())
     dt = (time.time() - t0) / n_iter
 
-    fps = 1.0 / dt
+    fps = batch / dt
     print(json.dumps({
         "metric": "720p_frames_per_sec",
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "detail": {"sec_per_frame": round(dt, 4),
+        "detail": {"sec_per_frame": round(dt / batch, 4),
+                   "batch": batch,
                    "compile_sec": round(compile_time, 1),
                    "dtype": dtype},
     }))

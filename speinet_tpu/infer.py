@@ -75,7 +75,7 @@ class Inference:
     def __init__(self, cfg: Config, data_path: str, model_path: str,
                  result_path: str, save_image: bool = True, border: bool = True,
                  detector_pickle: Optional[str] = None,
-                 self_ensemble: bool = False):
+                 self_ensemble: bool = False, batch_windows: int = 1):
         self.cfg = cfg
         self.n_seq = cfg.n_sequence
         self.size_must_mode = cfg.size_must_mode
@@ -85,6 +85,7 @@ class Inference:
         self.result_path = result_path
         self.detector_pickle = detector_pickle
         self.self_ensemble = self_ensemble
+        self.batch_windows = batch_windows
         os.makedirs(result_path, exist_ok=True)
         self.input_path = os.path.join(data_path, "blur")
         self.gt_path = os.path.join(data_path, "gt")
@@ -149,9 +150,38 @@ class Inference:
         model = LogisticRegressionJAX.load(self.detector_pickle)
         return np.asarray(model.predict(feats)).reshape(-1)
 
+    def _prepare_window(self, in_seq, gt_seq, pre_seq, sub_seq, padded_inputs):
+        """Decode + crop + zero-rule one window (host side, thread-safe)."""
+        filename = os.path.basename(in_seq[self.n_seq // 2]).split(".")[0]
+        seq = list(in_seq)
+        seq.append(padded_inputs[pre_seq[0]])
+        seq.append(padded_inputs[sub_seq[self.n_seq - 1]])
+        names = [os.path.split(os.path.dirname(p))[-1] + "." +
+                 os.path.splitext(os.path.basename(p))[0] for p in seq]
+        nums = [frame_number(n) for n in names]
+        inputs = [imageio.imread(p) for p in seq]
+        gt = imageio.imread(gt_seq[self.n_seq // 2])
+        h, w = inputs[self.n_seq // 2].shape[:2]
+        nh, nw = h - h % self.size_must_mode, w - w % self.size_must_mode
+        inputs = [im[:nh, :nw] for im in inputs]
+        gt = gt[:nh, :nw]
+        if abs(nums[2] - nums[3]) > 7:
+            inputs[-2] = np.zeros_like(inputs[-2])
+        if abs(nums[2] - nums[4]) > 7:
+            inputs[-1] = np.zeros_like(inputs[-1])
+        x = np.stack([im.transpose(2, 0, 1) for im in inputs]).astype(np.float32)
+        x *= self.cfg.rgb_range / 255.0
+        return filename, x, gt
+
     def infer(self):
+        """Per-video loop (parity: inference_SPEINet.py:338-429), with
+        windows decoded by a thread pool ahead of the device and batched
+        `batch_windows` per forward."""
+        from concurrent.futures import ThreadPoolExecutor
+
         total_psnr, total_ssim = {}, {}
         videos = sorted(os.listdir(self.input_path))
+        pool = ThreadPoolExecutor(max_workers=self.cfg.n_threads)
         for v in videos:
             video_psnr, video_ssim = [], []
             input_frames = sorted(glob.glob(os.path.join(self.input_path, v, "*")))
@@ -163,53 +193,46 @@ class Inference:
                                                  border=self.border)
             gt_seqs, _ = gene_seq(gt_frames, n_seq=self.n_seq, border=self.border)
 
-            for in_seq, gt_seq, pre_seq, sub_seq in zip(input_seqs, gt_seqs,
-                                                        pre_lists, sub_lists):
+            futures = [pool.submit(self._prepare_window, a, b, c, d, padded_inputs)
+                       for a, b, c, d in zip(input_seqs, gt_seqs, pre_lists,
+                                             sub_lists)]
+            bw = max(1, self.batch_windows)
+            for start_i in range(0, len(futures), bw):
                 start = time.time()
-                filename = os.path.basename(in_seq[self.n_seq // 2]).split(".")[0]
-                seq = list(in_seq)
-                seq.append(padded_inputs[pre_seq[0]])
-                seq.append(padded_inputs[sub_seq[self.n_seq - 1]])
-                names = [os.path.split(os.path.dirname(p))[-1] + "." +
-                         os.path.splitext(os.path.basename(p))[0] for p in seq]
-                nums = [frame_number(n) for n in names]
-
-                inputs = [imageio.imread(p) for p in seq]
-                gt = imageio.imread(gt_seq[self.n_seq // 2])
-                h, w = inputs[self.n_seq // 2].shape[:2]
-                nh, nw = h - h % self.size_must_mode, w - w % self.size_must_mode
-                inputs = [im[:nh, :nw] for im in inputs]
-                gt = gt[:nh, :nw]
-                if abs(nums[2] - nums[3]) > 7:
-                    inputs[-2] = np.zeros_like(inputs[-2])
-                if abs(nums[2] - nums[4]) > 7:
-                    inputs[-1] = np.zeros_like(inputs[-1])
-
-                x = np.stack([im.transpose(2, 0, 1) for im in inputs])[None]
-                x = jnp.asarray(x.astype(np.float32) * (self.cfg.rgb_range / 255.0))
+                chunk = [f.result() for f in futures[start_i : start_i + bw]]
+                xs = np.stack([c[1] for c in chunk])
+                if len(chunk) < bw:   # pad the trailing batch (stable shapes)
+                    pad = np.repeat(xs[-1:], bw - len(chunk), axis=0)
+                    xs = np.concatenate([xs, pad])
+                x = jnp.asarray(xs)
                 t_pre = time.time()
                 fwd = self._fwd_chop if self.cfg.chop else self._fwd
                 out = forward_x8(x, fwd) if self.self_ensemble else fwd(x)
                 out.block_until_ready()
                 t_fwd = time.time()
-                img = np.asarray(jnp.clip(jnp.round(
-                    out[0] * (255.0 / self.cfg.rgb_range)), 0, 255)
-                ).astype(np.uint8).transpose(1, 2, 0)
-                psnr = psnr_uint8_host(img, gt, crop_border=4)
-                ssim = float(ssim_matlab(jnp.asarray(gt), jnp.asarray(img)))
-                video_psnr.append(psnr)
-                video_ssim.append(ssim)
+                imgs = np.asarray(jnp.transpose(jnp.clip(jnp.round(
+                    out * (255.0 / self.cfg.rgb_range)), 0, 255), (0, 2, 3, 1))
+                ).astype(np.uint8)
+                for k, (filename, _, gt) in enumerate(chunk):
+                    img = imgs[k]
+                    psnr = psnr_uint8_host(img, gt, crop_border=4)
+                    ssim = float(ssim_matlab(jnp.asarray(gt), jnp.asarray(img)))
+                    video_psnr.append(psnr)
+                    video_ssim.append(ssim)
+                    if self.save_image:
+                        os.makedirs(os.path.join(self.result_path, v), exist_ok=True)
+                        imageio.imwrite(os.path.join(self.result_path, v,
+                                                     f"{filename}.png"), img)
+                    t_post = time.time()
+                    nb = len(chunk)
+                    self.logger.write_log(
+                        f"> {v}-{filename} PSNR={psnr:.5}, SSIM={ssim:.4} "
+                        f"pre_time:{(t_pre - start) / nb:.3}s, "
+                        f"forward_time:{(t_fwd - t_pre) / nb:.3}s, "
+                        f"post_time:{(t_post - t_fwd) / nb:.3}s, "
+                        f"total_time:{(t_post - start) / nb:.3}s")
                 total_psnr[v] = video_psnr
                 total_ssim[v] = video_ssim
-                if self.save_image:
-                    os.makedirs(os.path.join(self.result_path, v), exist_ok=True)
-                    imageio.imwrite(os.path.join(self.result_path, v,
-                                                 f"{filename}.png"), img)
-                t_post = time.time()
-                self.logger.write_log(
-                    f"> {v}-{filename} PSNR={psnr:.5}, SSIM={ssim:.4} "
-                    f"pre_time:{t_pre - start:.3}s, forward_time:{t_fwd - t_pre:.3}s, "
-                    f"post_time:{t_post - t_fwd:.3}s, total_time:{t_post - start:.3}s")
 
         sum_psnr = sum_ssim = 0.0
         n_img = 0
@@ -245,6 +268,8 @@ def main(argv=None):
     p.add_argument("--detector_pickle", type=str, default="")
     p.add_argument("--self_ensemble", action="store_true",
                    help="8-way flip/rot ensemble (forward_x8)")
+    p.add_argument("--batch_windows", type=int, default=1,
+                   help="sliding windows per forward pass")
     p.add_argument("--profile", type=str, default="",
                    help="write a jax.profiler trace to this directory")
     args = p.parse_args(argv)
@@ -253,7 +278,8 @@ def main(argv=None):
     inf = Inference(cfg, args.data_path, args.model_path, args.result_path,
                     save_image=args.save_image, border=args.border,
                     detector_pickle=args.detector_pickle or None,
-                    self_ensemble=args.self_ensemble)
+                    self_ensemble=args.self_ensemble,
+                    batch_windows=args.batch_windows)
     if args.profile:
         import jax
 

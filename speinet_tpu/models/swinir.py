@@ -360,8 +360,13 @@ class RSTB(nn.Module):
             n_pairs = self.depth // 2
             rates = jnp.asarray(np.asarray(self.drop_path, np.float32)
                                 .reshape(n_pairs, 2))
+            # remat: recompute block activations in the backward pass —
+            # training at patch 200 x batch 20 stores 36 blocks' activations
+            # otherwise; forward-only traces are unaffected
+            body = BlockPair if deterministic else nn.remat(
+                BlockPair, prevent_cse=False)
             scan = nn.scan(
-                BlockPair,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "droppath": True},
                 in_axes=(nn.broadcast, 0),

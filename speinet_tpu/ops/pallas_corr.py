@@ -52,8 +52,8 @@ def _corr_kernel(lr_ref, ref_ref, s_ref, idx_ref, best, best_idx, *,
 
     @pl.when(k == n_k - 1)
     def _():
-        s_ref[0] = best[0]
-        idx_ref[0] = best_idx[0]
+        s_ref[0, 0] = best[0]
+        idx_ref[0, 0] = best_idx[0]
 
 
 @functools.partial(jax.jit, static_argnames=("tl", "tk"))
@@ -84,14 +84,16 @@ def correlation_argmax_pallas(lr_n: jnp.ndarray, ref_n: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tl), lambda bi, li, ki: (bi, li),
+            # [B, 1, L] layout: with a 2-D output the batch block (1) would
+            # violate the (8, 128)-tiling rule whenever B > 1
+            pl.BlockSpec((1, 1, tl), lambda bi, li, ki: (bi, 0, li),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tl), lambda bi, li, ki: (bi, li),
+            pl.BlockSpec((1, 1, tl), lambda bi, li, ki: (bi, 0, li),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, lp), jnp.float32),
-            jax.ShapeDtypeStruct((b, lp), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, lp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, lp), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, tl), jnp.float32),
@@ -103,4 +105,4 @@ def correlation_argmax_pallas(lr_n: jnp.ndarray, ref_n: jnp.ndarray,
             transcendentals=0,
         ),
     )(lr_p, ref_p)
-    return s[:, :l], idx[:, :l]
+    return s[:, 0, :l], idx[:, 0, :l]

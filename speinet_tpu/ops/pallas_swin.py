@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, y_ref, ls_ref, lb_ref, wkv_ref, bkv_ref, wq_ref, bq_ref,
             wp_ref, bp_ref, bias_ref, mask_ref, o_ref, *, ws: int, g: int,
-            heads: int, scale: float):
+            r_rows: int, heads: int, scale: float):
     n = ws * ws
     gn = g * n
     c = x_ref.shape[-1]
@@ -41,39 +41,55 @@ def _kernel(x_ref, y_ref, ls_ref, lb_ref, wkv_ref, bkv_ref, wq_ref, bq_ref,
     # norm1 (shared weights for x and y, swinir.py:244-245) fused in
     xb = _ln(x_ref[0], ls_ref[:], lb_ref[:]).astype(x_ref.dtype)
     yb = _ln(y_ref[0], ls_ref[:], lb_ref[:]).astype(y_ref.dtype)
-    # partition: [ws, g*ws, C] -> [g*N, C] (window-major, row-major tokens)
-    xw = jnp.concatenate(
-        [xb[:, i * ws : (i + 1) * ws, :].reshape(n, c) for i in range(g)], axis=0)
-    yw = jnp.concatenate(
-        [yb[:, i * ws : (i + 1) * ws, :].reshape(n, c) for i in range(g)], axis=0)
 
+    def partition(img):
+        # [R*ws, g*ws, C] -> [R*g*N, C] (row-group major, window major)
+        parts = []
+        for r in range(r_rows):
+            slab = img[r * ws : (r + 1) * ws]
+            for i in range(g):
+                parts.append(slab[:, i * ws : (i + 1) * ws, :].reshape(n, c))
+        return jnp.concatenate(parts, axis=0)
+
+    xw = partition(xb)
+    yw = partition(yb)
+
+    # projections over all R row-groups at once (M = R*g*N)
     kv = jnp.dot(xw, wkv_ref[:], preferred_element_type=jnp.float32) + bkv_ref[:]
     q = jnp.dot(yw, wq_ref[:], preferred_element_type=jnp.float32) + bq_ref[:]
-    q = q * scale
+    q = (q * scale).astype(xw.dtype)
     kv = kv.astype(xw.dtype)
-    q = q.astype(xw.dtype)
 
-    mask = mask_ref[0, 0, 0]
-    heads_out = []
-    for h in range(heads):
-        qh = q[:, h * hd : (h + 1) * hd]
-        kh = kv[:, h * hd : (h + 1) * hd]
-        vh = kv[:, c + h * hd : c + (h + 1) * hd]
-        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        # mask already carries the packed block-diagonal rel-pos bias + shift
-        # masks + off-block -1e9 for this head
-        s = s + mask + bias_ref[h]
-        p = jax.nn.softmax(s, axis=-1).astype(xw.dtype)
-        heads_out.append(jnp.dot(p, vh, preferred_element_type=jnp.float32))
-    out = jnp.concatenate(heads_out, axis=1)
+    outs = []
+    for r in range(r_rows):
+        mask = mask_ref[r, 0]
+        qr = q[r * gn : (r + 1) * gn]
+        kvr = kv[r * gn : (r + 1) * gn]
+        heads_out = []
+        for h in range(heads):
+            qh = qr[:, h * hd : (h + 1) * hd]
+            kh = kvr[:, h * hd : (h + 1) * hd]
+            vh = kvr[:, c + h * hd : c + (h + 1) * hd]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            # mask carries the shift/pad masks + off-block -1e9; bias_ref is
+            # the packed block-diagonal rel-pos bias
+            s = s + mask + bias_ref[h]
+            p = jax.nn.softmax(s, axis=-1).astype(xw.dtype)
+            heads_out.append(jnp.dot(p, vh, preferred_element_type=jnp.float32))
+        outs.append(jnp.concatenate(heads_out, axis=1))
+    out = jnp.concatenate(outs, axis=0)               # [R*g*N, C]
 
     res = jnp.dot(out.astype(xw.dtype), wp_ref[:],
                   preferred_element_type=jnp.float32) + bp_ref[:]
     res = res.astype(o_ref.dtype)
-    # reverse: [g*N, C] -> [ws, g*ws, C]
-    parts = [res[i * n : (i + 1) * n, :].reshape(ws, ws, c) for i in range(g)]
-    o_ref[0] = jnp.concatenate(parts, axis=1)
+    # reverse: [R*g*N, C] -> [R*ws, g*ws, C]
+    rows = []
+    for r in range(r_rows):
+        seg = res[r * gn : (r + 1) * gn]
+        parts = [seg[i * n : (i + 1) * n, :].reshape(ws, ws, c) for i in range(g)]
+        rows.append(jnp.concatenate(parts, axis=1))
+    o_ref[0] = jnp.concatenate(rows, axis=0)
 
 
 def _ln(x, scale, bias, eps=1e-5):
@@ -207,24 +223,27 @@ def fused_window_cross_attention(
     b, hp, wpx, c = xn.shape
     g = pick_group(wpx // ws)
     n = ws * ws
+    r_rows = pick_group(hp // ws, max_g=6)     # window rows per grid step
     mask = jnp.asarray(packed_mask(hp, wpx, ws, shift, pad_h, pad_w, g))
-    mask = mask.reshape(hp // ws, wpx // (g * ws), 1, g * n, g * n)
+    mask = mask.reshape(hp // ws, wpx // (g * ws), g * n, g * n)
     scale = float((c // heads) ** -0.5)
     # block-diagonal packed relative-position bias, built in XLA (tiny)
     eye = jnp.eye(g, dtype=bias.dtype)
     bias_packed = jnp.einsum("ij,hmn->himjn", eye, bias).reshape(heads, g * n, g * n)
 
-    kernel = functools.partial(_kernel, ws=ws, g=g, heads=heads, scale=scale)
-    grid = (b, hp // ws, wpx // (g * ws))
+    kernel = functools.partial(_kernel, ws=ws, g=g, r_rows=r_rows, heads=heads,
+                               scale=scale)
+    grid = (b, hp // (r_rows * ws), wpx // (g * ws))
     gws = g * ws
+    rws = r_rows * ws
     dtype = xn.dtype
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ws, gws, c), lambda bi, i, j: (bi, i, j, 0),
+            pl.BlockSpec((1, rws, gws, c), lambda bi, i, j: (bi, i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ws, gws, c), lambda bi, i, j: (bi, i, j, 0),
+            pl.BlockSpec((1, rws, gws, c), lambda bi, i, j: (bi, i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ln scale
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ln bias
@@ -234,16 +253,17 @@ def fused_window_cross_attention(
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bq
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wp
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bp
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias [h, N, N]
-            pl.BlockSpec((1, 1, 1, g * n, g * n),
-                         lambda bi, i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias [h, gN, gN]
+            pl.BlockSpec((r_rows, 1, g * n, g * n),
+                         lambda bi, i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ws, gws, c), lambda bi, i, j: (bi, i, j, 0),
+        out_specs=pl.BlockSpec((1, rws, gws, c), lambda bi, i, j: (bi, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hp, wpx, c), dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hp * wpx * c * (4 * c + 2 * g * n),
