@@ -274,6 +274,26 @@ def main(argv=None):
                    help="write a jax.profiler trace to this directory")
     args = p.parse_args(argv)
 
+    # dataset presets (parity: inference_SPEINet.py:626-697 — the reference
+    # hardcodes absolute user paths; here presets fill defaults relative to
+    # the working tree and keep the template hyperparameters)
+    presets = {
+        "REDS": ("./data/deblur/REDS_8x_Random/test", "./infer_results/reds"),
+        "GOPRO": ("./data/deblur/GOPRO/test", "./infer_results/gopro"),
+        "BSD": ("./data/deblur/BSDtest", "./infer_results/bsd"),
+        "BSDtest_all": ("./data/deblur/BSDtest_all/BSD_3ms24ms",
+                        "./infer_results/bsd_3ms24ms"),
+    }
+    if args.default_data:
+        if args.default_data not in presets:
+            raise SystemExit(f"unknown preset {args.default_data}; "
+                             f"choose from {sorted(presets)}")
+        dpath, rpath = presets[args.default_data]
+        if args.data_path == "./dataset/test":
+            args.data_path = dpath
+        if args.result_path == "./infer_results":
+            args.result_path = rpath
+
     cfg = set_template(Config(template="SPEINet")).replace(chop=args.chop)
     inf = Inference(cfg, args.data_path, args.model_path, args.result_path,
                     save_image=args.save_image, border=args.border,

@@ -56,10 +56,9 @@ def _corr_kernel(lr_ref, ref_ref, s_ref, idx_ref, best, best_idx, *,
         idx_ref[0, 0] = best_idx[0]
 
 
-@functools.partial(jax.jit, static_argnames=("tl", "tk"))
-def correlation_argmax_pallas(lr_n: jnp.ndarray, ref_n: jnp.ndarray,
-                              tl: int = 512, tk: int = 512
-                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _corr_impl(lr_n: jnp.ndarray, ref_n: jnp.ndarray,
+               tl: int = 512, tk: int = 512
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """lr_n: [B, D, L] column-normalized; ref_n: [B, Lr, D] row-normalized.
 
     Returns (S [B, L] float32, idx [B, L] int32) — drop-in equivalent of
@@ -106,3 +105,33 @@ def correlation_argmax_pallas(lr_n: jnp.ndarray, ref_n: jnp.ndarray,
         ),
     )(lr_p, ref_p)
     return s[:, 0, :l], idx[:, 0, :l]
+
+
+@jax.custom_vjp
+def correlation_argmax_pallas(lr_n: jnp.ndarray, ref_n: jnp.ndarray
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Differentiable wrapper: S = max_k <ref_k, lr_i> has the closed-form
+    (sub)gradient dS_i/dlr_i = ref_{argmax_i} and
+    dS_i/dref_{argmax_i} = lr_i — exactly the gradient torch.max propagates
+    in the reference (SearchTransfer.py:34)."""
+    return _corr_impl(lr_n, ref_n)
+
+
+def _corr_fwd(lr_n, ref_n):
+    s, idx = _corr_impl(lr_n, ref_n)
+    return (s, idx), (lr_n, ref_n, idx)
+
+
+def _corr_bwd(res, g):
+    lr_n, ref_n, idx = res
+    gs = g[0].astype(jnp.float32)                         # [B, L]
+    sel = jnp.take_along_axis(ref_n, idx[..., None], axis=1)  # [B, L, D]
+    d_lr = (sel * gs[..., None]).transpose(0, 2, 1)
+    contrib = lr_n.transpose(0, 2, 1) * gs[..., None]     # [B, L, D]
+    b = lr_n.shape[0]
+    bidx = jnp.arange(b)[:, None]
+    d_ref = jnp.zeros_like(ref_n).at[bidx, idx].add(contrib)
+    return d_lr.astype(lr_n.dtype), d_ref.astype(ref_n.dtype)
+
+
+correlation_argmax_pallas.defvjp(_corr_fwd, _corr_bwd)
