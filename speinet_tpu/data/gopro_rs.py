@@ -12,7 +12,7 @@ and the GT is the window center. Deterministic given `seed`.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import imageio.v2 as imageio
 import numpy as np

@@ -23,8 +23,6 @@ uses L1 pools on non-negative inputs, so sum-pooling reproduces it exactly.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -25,7 +25,7 @@ import csv
 import glob
 import os
 import time
-from typing import List, Sequence, Tuple
+from typing import Tuple
 
 import imageio.v2 as imageio
 import numpy as np

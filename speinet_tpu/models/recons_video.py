@@ -18,7 +18,7 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
-from speinet_tpu.models.blocks import BasicConv, ConvTransposeTorch, ResBlock
+from speinet_tpu.models.blocks import ConvTransposeTorch, ResBlock
 
 Dtype = Any
 

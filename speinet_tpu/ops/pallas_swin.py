@@ -21,7 +21,6 @@ XLA path in models/swinir.py (same parameters, same math).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

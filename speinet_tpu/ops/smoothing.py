@@ -15,7 +15,6 @@ The FFT methods are pure jnp (TPU-friendly); images are [B, C, H, W] or
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -119,7 +118,7 @@ def rtv_smooth(img: np.ndarray, lam: float = 0.01, sigma: float = 3.0,
 
     img: [H, W, C] float in [0, 1].
     """
-    from scipy.ndimage import uniform_filter1d, gaussian_filter1d
+    from scipy.ndimage import gaussian_filter1d
     from scipy.sparse import spdiags, csr_matrix
     from scipy.sparse.linalg import spsolve
 

@@ -15,8 +15,6 @@ overlapping tiles become extra batch entries sharded over the same mesh.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

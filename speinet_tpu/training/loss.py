@@ -10,7 +10,7 @@ jnp.sort / PRNG on device, fused into the step.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,9 +14,7 @@ the one-epoch-early decay quirk (SURVEY.md §2.3).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ epoch >= epochs (trainer/trainer.py:38-44).
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import datetime
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import imageio.v2 as imageio
 import numpy as np
