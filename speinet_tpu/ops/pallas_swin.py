@@ -222,7 +222,9 @@ def fused_window_cross_attention(
     b, hp, wpx, c = xn.shape
     g = pick_group(wpx // ws)
     n = ws * ws
-    r_rows = pick_group(hp // ws, max_g=6)     # window rows per grid step
+    # window rows per grid step: 1 measured fastest (larger R amortizes DMA
+    # setup but loses pipelining overlap between grid steps)
+    r_rows = 1
     mask = jnp.asarray(packed_mask(hp, wpx, ws, shift, pad_h, pad_w, g))
     mask = mask.reshape(hp // ws, wpx // (g * ws), g * n, g * n)
     scale = float((c // heads) ** -0.5)
