@@ -123,19 +123,33 @@ class _Node:
 
 
 class DecisionTree:
-    """Binary CART classifier, gini impurity, midpoint thresholds."""
+    """Binary CART classifier, gini impurity, midpoint thresholds.
+
+    `max_features` enables per-split feature subsampling (the randomness
+    RandomForest needs); None considers every feature (sklearn
+    DecisionTreeClassifier default)."""
 
     def __init__(self, max_depth: Optional[int] = None,
-                 min_samples_split: int = 2):
+                 min_samples_split: int = 2,
+                 max_features: Optional[int] = None,
+                 rng: Optional[np.random.Generator] = None):
         self.max_depth = max_depth
         self.min_samples_split = min_samples_split
+        self.max_features = max_features
+        self._rng = rng
         self.root: Optional[_Node] = None
 
     def fit(self, x: np.ndarray, y: np.ndarray) -> "DecisionTree":
         x = np.asarray(x, np.float64)
         y = np.asarray(y, np.int64).reshape(-1)
         self.root = self._build(x, y, 0)
+        self._rng = None   # generators don't pickle portably; only fit needs it
         return self
+
+    def _split_candidates(self, n_features: int):
+        if self.max_features is None or self.max_features >= n_features:
+            return range(n_features)
+        return self._rng.choice(n_features, self.max_features, replace=False)
 
     def _build(self, x, y, depth) -> _Node:
         if (len(np.unique(y)) == 1 or len(y) < self.min_samples_split
@@ -143,7 +157,7 @@ class DecisionTree:
             return _Node(value=int(np.bincount(y, minlength=2).argmax()))
         best = (None, None, 1e18)
         n = len(y)
-        for f in range(x.shape[1]):
+        for f in self._split_candidates(x.shape[1]):
             order = np.argsort(x[:, f], kind="mergesort")
             xv, yv = x[order, f], y[order]
             ones_left = np.cumsum(yv)[:-1]
@@ -186,6 +200,56 @@ class DecisionTree:
 
     @staticmethod
     def load(path: str) -> "DecisionTree":
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
+class RandomForest:
+    """Bagged CART ensemble (parity: the reference's third classifier family,
+    sharp_detector_params_estimation_parallel.py:21,247,280 — sklearn
+    RandomForestClassifier defaults: 100 trees, bootstrap resampling, sqrt
+    feature subsampling per split, unlimited depth, majority vote)."""
+
+    def __init__(self, n_estimators: int = 100,
+                 max_features: Optional[str | int] = "sqrt",
+                 max_depth: Optional[int] = None, seed: int = 0):
+        self.n_estimators = n_estimators
+        self.max_features = max_features
+        self.max_depth = max_depth
+        self.seed = seed
+        self.trees: list[DecisionTree] = []
+
+    def fit(self, x: np.ndarray, y: np.ndarray) -> "RandomForest":
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.int64).reshape(-1)
+        n, nf = x.shape
+        if self.max_features == "sqrt":
+            mf = max(1, int(np.sqrt(nf)))
+        else:
+            mf = self.max_features
+        rng = np.random.default_rng(self.seed)
+        self.trees = []
+        for _ in range(self.n_estimators):
+            idx = rng.integers(0, n, n)            # bootstrap sample
+            t = DecisionTree(max_depth=self.max_depth, max_features=mf, rng=rng)
+            t.fit(x[idx], y[idx])
+            self.trees.append(t)
+        return self
+
+    def predict_proba(self, x: np.ndarray) -> np.ndarray:
+        votes = np.stack([t.predict(x) for t in self.trees])   # [T, N]
+        p1 = votes.mean(axis=0)
+        return np.stack([1 - p1, p1], axis=-1)
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        return (self.predict_proba(x)[:, 1] >= 0.5).astype(np.int64)
+
+    def save(self, path: str):
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @staticmethod
+    def load(path: str) -> "RandomForest":
         with open(path, "rb") as f:
             return pickle.load(f)
 

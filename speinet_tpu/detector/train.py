@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from speinet_tpu.data.gopro_rs import generate_blurry_sequence
 from speinet_tpu.detector.classifier import (DecisionTree,
                                              LogisticRegressionJAX,
+                                             RandomForest,
                                              binary_metrics,
                                              fit_logistic_regression)
 from speinet_tpu.detector.features import focus_features
@@ -83,9 +84,10 @@ def collate_pregenerated(root: str, kernel_size: int
 
 def train_detectors(x: np.ndarray, y: np.ndarray, out_dir: str, ratio: float,
                     kernel_size: int, test_fraction: float = 0.1,
-                    seed: int = 0, csv_path: str = None) -> dict:
-    """Fit + evaluate + pickle both classifiers; append metrics CSV
-    (parity: estimate_parameters + metric dump, :267-319)."""
+                    seed: int = 0, csv_path: str = None,
+                    n_forest_trees: int = 100) -> dict:
+    """Fit + evaluate + pickle all three classifier families; append metrics
+    CSV (parity: estimate_parameters + metric dump, :239-250,:267-319)."""
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(y))
     n_test = max(1, int(len(y) * test_fraction))
@@ -100,6 +102,9 @@ def train_detectors(x: np.ndarray, y: np.ndarray, out_dir: str, ratio: float,
     dt = DecisionTree().fit(xtr, ytr)
     dt.save(os.path.join(out_dir, f"DecisionTree_{ratio}_{kernel_size}.pkl"))
     results["DecisionTree"] = binary_metrics(yte, dt.predict(xte))
+    rf = RandomForest(n_estimators=n_forest_trees, seed=seed).fit(xtr, ytr)
+    rf.save(os.path.join(out_dir, f"RandomForest_{ratio}_{kernel_size}.pkl"))
+    results["RandomForest"] = binary_metrics(yte, rf.predict(xte))
 
     if csv_path:
         new = not os.path.exists(csv_path)

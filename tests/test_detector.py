@@ -8,7 +8,7 @@ import torch
 from torch.nn.functional import avg_pool2d, conv2d, lp_pool2d
 
 from speinet_tpu.detector.classifier import (DecisionTree, LogisticRegressionJAX,
-                                             binary_metrics,
+                                             RandomForest, binary_metrics,
                                              fit_logistic_regression)
 from speinet_tpu.detector.features import focus_features
 
@@ -120,6 +120,36 @@ def test_decision_tree(rng):
     assert (dt.predict(x2) == y2).mean() > 0.9
 
 
+def test_random_forest(rng, tmp_path):
+    """Bagged ensemble (parity: the reference's RandomForestClassifier,
+    sharp_detector_params_estimation_parallel.py:247): generalizes at least
+    as well as a single tree on noisy data, pickles, and is deterministic
+    per seed."""
+    n = 400
+    x = rng.standard_normal((n, 6))
+    clean = ((x[:, 0] > 0.2) & (x[:, 2] < 0.5)).astype(int)
+    flip = rng.random(n) < 0.1                      # 10% label noise
+    y = np.where(flip, 1 - clean, clean)
+    x2 = rng.standard_normal((500, 6))
+    y2 = ((x2[:, 0] > 0.2) & (x2[:, 2] < 0.5)).astype(int)
+
+    rf = RandomForest(n_estimators=30, seed=1).fit(x, y)
+    acc_rf = (rf.predict(x2) == y2).mean()
+    acc_dt = (DecisionTree().fit(x, y).predict(x2) == y2).mean()
+    assert acc_rf > 0.88
+    assert acc_rf >= acc_dt - 0.02                  # bagging smooths the noise
+
+    p = str(tmp_path / "rf.pkl")
+    rf.save(p)
+    rf2 = RandomForest.load(p)
+    np.testing.assert_array_equal(rf.predict(x2), rf2.predict(x2))
+    rf3 = RandomForest(n_estimators=30, seed=1).fit(x, y)
+    np.testing.assert_array_equal(rf.predict(x2), rf3.predict(x2))
+    proba = rf.predict_proba(x2)
+    assert proba.shape == (500, 2)
+    np.testing.assert_allclose(proba.sum(-1), 1.0)
+
+
 def test_detector_end_to_end(tmp_path, rng):
     """Synthesize videos -> generate GoProRS tree -> train detectors ->
     eval per-video accuracy (the full LD_detector pipeline in miniature)."""
@@ -145,8 +175,11 @@ def test_detector_end_to_end(tmp_path, rng):
     assert x.shape[1] == 6 and len(x) == len(y)
     assert 0 < y.mean() < 1    # both classes present
     res = train_detectors(x, y, str(tmp_path / "pkl"), ratio=0.4,
-                          kernel_size=7, csv_path=str(tmp_path / "out.csv"))
+                          kernel_size=7, csv_path=str(tmp_path / "out.csv"),
+                          n_forest_trees=20)
     assert res["LogisticRegression"]["accuracy"] > 0.7   # sharp/blur separable
+    assert (tmp_path / "pkl" / "RandomForest_0.4_7.pkl").exists()
+    assert res["RandomForest"]["accuracy"] > 0.6
     lr = LogisticRegressionJAX.load(str(tmp_path / "pkl" / "LogisticRegression_0.4_7.pkl"))
     ev = evaluate_videos(str(out), lr, kernel_size=7)
     assert ev["__total__"]["accuracy"] > 0.7
