@@ -3,6 +3,13 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.md): the reference averages ~1.21 s forward per 720p
 frame on an A100-class GPU => 0.826 frames/sec.
+
+Timing methodology: iterations are CHAINED (each forward's output is mixed
+into the next input) and the loop ends with a host readback. The remote
+TPU relay used in this environment evaluates lazily — block_until_ready
+can return before the computation runs, and duplicate independent calls
+can be elided — so only a data-dependent chain ending in a readback
+measures real sustained throughput.
 """
 
 import json
@@ -34,24 +41,32 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), x_small)
 
     rng = np.random.default_rng(0)
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
     yy, xx = np.mgrid[0:h, 0:w]
     base = (0.5 + 0.3 * np.sin(xx / 11.0) * np.cos(yy / 13.0)).astype(np.float32)
     frames = np.stack([np.clip(base + 0.02 * rng.standard_normal((h, w)) + 0.01 * t, 0.02, 1.0)
                        for t in range(5)])
     x = jnp.asarray(np.broadcast_to(frames[None, :, None], (batch, 5, 3, h, w)).copy())
 
-    fwd = jax.jit(lambda inp: model.apply(variables, inp, train=False))
+    def step(inp, prev):
+        # chain: fold the previous output into the center frame so no call
+        # can be elided or reordered by the lazy relay
+        inp = inp.at[:, 1].add(prev * 1e-4)
+        return model.apply(variables, inp, train=False)
+
+    fwd = jax.jit(step)
+    prev0 = jnp.zeros((batch, 3, h, w), jnp.float32)
     t0 = time.time()
-    out = fwd(x)
-    _ = float(out.sum())     # host readback: block_until_ready can return
-    compile_time = time.time() - t0  # early through the remote TPU relay
+    out = fwd(x, prev0)
+    _ = float(out.sum())     # host readback = the only true sync point
+    compile_time = time.time() - t0
 
     n_iter = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.time()
+    prev = out
     for _ in range(n_iter):
-        out = fwd(x)
-    _ = float(out.sum())
+        prev = fwd(x, prev)
+    _ = float(prev.sum())
     dt = (time.time() - t0) / n_iter
 
     fps = batch / dt
@@ -63,7 +78,8 @@ def main():
         "detail": {"sec_per_frame": round(dt / batch, 4),
                    "batch": batch,
                    "compile_sec": round(compile_time, 1),
-                   "dtype": dtype},
+                   "dtype": dtype,
+                   "timing": "chained+readback"},
     }))
 
 

@@ -31,7 +31,7 @@ from speinet_tpu.detector.classifier import LogisticRegressionJAX
 from speinet_tpu.detector.train import video_features
 from speinet_tpu.models.speinet import SPEINet
 from speinet_tpu.ops.metrics import psnr_uint8_host, ssim_matlab
-from speinet_tpu.parallel.chop import chop_batch, chop_merge
+from speinet_tpu.parallel.chop import chop_forward
 
 
 class TraverseLogger:
@@ -134,11 +134,11 @@ class Inference:
                                 train=False)
 
     def _forward_chop(self, params, batch_stats, x):
-        h, w = x.shape[-2:]
-        tiles = chop_batch(x, shave=self.cfg.chop_shave)
-        y = self.model.apply(self._make_variables(params, batch_stats), tiles,
-                             train=False)
-        return chop_merge(y, h, w)
+        # recursive above 6*160000 px so >720p frames still fit
+        # (parity: inference_SPEINet.py:545,565,578-584)
+        fwd = lambda tiles: self.model.apply(
+            self._make_variables(params, batch_stats), tiles, train=False)
+        return chop_forward(fwd, x, shave=self.cfg.chop_shave)
 
     # ------------------------------------------------------------------
     def _labels_for_video(self, v: str, input_frames: List[str]) -> np.ndarray:

@@ -10,6 +10,17 @@ permute-contiguous churn. Semantics match:
 - ResBlock (block.py:127-141): two 5x5 convs -> SE + Triplet -> +identity
 - BasicConv / conv_transpose with PyTorch ConvTranspose2d(k=3, s=2, p=1,
   output_padding=1) semantics for the decoder upsampling stages
+
+TPU fast path (`call_fast` on ResBlock, `call_s2d` on SE/Triplet): the
+reference's 5x5 convs at 32/64 channels underfill the 128-lane MXU, so the
+XLA conv emitter runs them at <10% of matmul peak. On TPU the ResBlock
+stack runs either directly through the Pallas shifted-matmul conv
+(ops/pallas_conv.py, channels >= 128) or in space-to-depth layout
+(ops/s2d.py, channels < 128) where the same parameters express the SAME
+math as 3x3 convs at 4x the channels. SE/Triplet pool-planes are
+reconstructed exactly from the s2d layout (equal-count means / maxes), so
+the fast path is numerically equivalent up to f32-vs-bf16 accumulation
+order.
 """
 
 from __future__ import annotations
@@ -20,7 +31,31 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from speinet_tpu.ops.s2d import s2d_kernel
+
 Dtype = Any
+
+
+class ConvParams(nn.Module):
+    """Parameter holder with nn.Conv's tree layout ({kernel, bias}) so the
+    same weights serve the XLA conv, the Pallas conv and the s2d-transformed
+    Pallas conv. Instances are named "Conv_0" to keep checkpoint/converter
+    compatibility with the previous nn.Conv submodule."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32) if self.use_bias else None
+        return kernel, bias
 
 
 def conv_transpose_torch(x: jnp.ndarray, kernel: jnp.ndarray, bias, stride: int,
@@ -72,7 +107,10 @@ class ConvTransposeTorch(nn.Module):
 
 
 class BasicConv(nn.Module):
-    """conv/convT [+ BatchNorm] [+ ReLU] (parity: block.py:26-47)."""
+    """conv/convT [+ BatchNorm] [+ ReLU] (parity: block.py:26-47).
+
+    With `in_features` set, the conv parameters live in a ConvParams holder
+    (same tree layout) so `params()` can feed the Pallas fast paths."""
 
     features: int
     kernel_size: int
@@ -81,23 +119,50 @@ class BasicConv(nn.Module):
     norm: bool = False
     relu: bool = True
     transpose: bool = False
+    in_features: int | None = None
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def setup(self):
         bias = self.use_bias and not self.norm
         if self.transpose:
-            x = ConvTransposeTorch(self.features, self.kernel_size, self.stride,
-                                   padding=self.kernel_size // 2 - 1,
-                                   output_padding=0, dtype=self.dtype)(x)
+            self.op = ConvTransposeTorch(self.features, self.kernel_size,
+                                         self.stride,
+                                         padding=self.kernel_size // 2 - 1,
+                                         output_padding=0, dtype=self.dtype,
+                                         name="ConvTransposeTorch_0")
+        elif self.in_features is not None:
+            self.cp = ConvParams(self.features, self.kernel_size,
+                                 self.in_features, use_bias=bias,
+                                 name="Conv_0")
         else:
-            x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
-                        strides=(self.stride, self.stride),
-                        padding=self.kernel_size // 2, use_bias=bias,
-                        dtype=self.dtype)(x)
+            self.op = nn.Conv(self.features,
+                              (self.kernel_size, self.kernel_size),
+                              strides=(self.stride, self.stride),
+                              padding=self.kernel_size // 2, use_bias=bias,
+                              dtype=self.dtype, name="Conv_0")
         if self.norm:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-5, dtype=jnp.float32)(x)
+            self.bn = nn.BatchNorm(use_running_average=True, momentum=0.99,
+                                   epsilon=1e-5, dtype=jnp.float32,
+                                   name="BatchNorm_0")
+
+    def params(self):
+        """(kernel, bias) for the Pallas conv paths."""
+        return self.cp()
+
+    def __call__(self, x, train: bool = False):
+        if self.transpose or self.in_features is None:
+            x = self.op(x)
+        else:
+            kernel, bias = self.cp()
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (self.stride, self.stride),
+                [(self.kernel_size // 2, self.kernel_size // 2)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if bias is not None:
+                x = x + bias.astype(self.dtype)
+        if self.norm:
+            x = self.bn(x, use_running_average=not train)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -106,18 +171,31 @@ class BasicConv(nn.Module):
 class SEBlock(nn.Module):
     """Channel squeeze-excite (parity: block.py:8-24)."""
 
+    features: int
     reduction: int = 4
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.fc1 = nn.Dense(self.features // self.reduction, dtype=self.dtype,
+                            name="Dense_0")
+        self.fc2 = nn.Dense(self.features, dtype=self.dtype, name="Dense_1")
+
+    def _gate(self, y):  # [B, C] -> [B, C]
+        return nn.sigmoid(self.fc2(nn.relu(self.fc1(y))))
+
     def __call__(self, x):  # [B, H, W, C]
-        c = x.shape[-1]
-        y = jnp.mean(x, axis=(1, 2))                      # [B, C]
-        y = nn.Dense(c // self.reduction, dtype=self.dtype)(y)
-        y = nn.relu(y)
-        y = nn.Dense(c, dtype=self.dtype)(y)
-        y = nn.sigmoid(y)
+        y = self._gate(jnp.mean(x, axis=(1, 2)))
         return x * y[:, None, None, :]
+
+    def call_s2d(self, x):  # [B, H/2, W/2, 4C]
+        """Same gate on the space-to-depth layout: the global mean per
+        logical channel is the equal-count mean over the 4 quadrant copies;
+        the per-channel scale broadcasts back over the quadrants."""
+        b = x.shape[0]
+        c = x.shape[-1] // 4
+        y = jnp.mean(x, axis=(1, 2)).reshape(b, 4, c).mean(axis=1)
+        g = self._gate(y)
+        return x * jnp.tile(g, (1, 4))[:, None, None, :]
 
 
 class AttentionGate(nn.Module):
@@ -176,6 +254,33 @@ class TripletAttention(nn.Module):
         g_hc = gate_hc[..., 0].transpose(0, 2, 1)[:, None, :, :]  # [B, 1, W, C]
         return x * (g_cw + g_hc).astype(x.dtype)
 
+    def call_s2d(self, x, train: bool = False):  # [B, H/2, W/2, 4C]
+        """Same two gates on the space-to-depth layout. The (H, C) and
+        (C, W) pool planes are reconstructed exactly: a full-resolution row
+        h = 2r + p lives in quadrant-row (r, p), so pooling over W pools
+        over (W/2, q); means stay exact because quadrant counts are equal."""
+        b, h2, w2, c4 = x.shape
+        c = c4 // 4
+        xf = x.astype(jnp.float32).reshape(b, h2, w2, 2, 2, c)
+        # pool over W = over (w2, q): -> [B, h2, 2(p), C] -> [B, H, C]
+        mx_w = jnp.max(xf, axis=(2, 4))
+        mn_w = jnp.mean(xf, axis=(2, 4))
+        pool_cw = jnp.stack([mx_w, mn_w], axis=-1).reshape(b, 2 * h2, c, 2)
+        gate_cw = self.cw(pool_cw.astype(self.dtype), train=train)  # [B,H,C,1]
+        # pool over H = over (h2, p): -> [B, w2, 2(q), C] -> [B, W, C] -> [B,C,W]
+        mx_h = jnp.max(xf, axis=(1, 3))
+        mn_h = jnp.mean(xf, axis=(1, 3))
+        pool_hc = jnp.stack([mx_h, mn_h], axis=-1).reshape(b, 2 * w2, c, 2)
+        pool_hc = pool_hc.transpose(0, 2, 1, 3)          # [B, C, W, 2]
+        gate_hc = self.hc(pool_hc.astype(self.dtype), train=train)  # [B,C,W,1]
+        # broadcast back onto quadrants: g_cw by (h2, p), g_hc by (w2, q)
+        g_cw = gate_cw[..., 0].reshape(b, h2, 2, c)      # [B, h2, p, C]
+        g_hc = gate_hc[..., 0].transpose(0, 2, 1).reshape(b, w2, 2, c)
+        gsum = (g_cw[:, :, None, :, None, :]
+                + g_hc[:, None, :, None, :, :])          # [B, h2, w2, p, q, C]
+        out = x.reshape(b, h2, w2, 2, 2, c) * gsum.astype(x.dtype)
+        return out.reshape(b, h2, w2, c4)
+
 
 class ResBlock(nn.Module):
     """Residual block with dual attention (parity: block.py:127-141)."""
@@ -186,14 +291,39 @@ class ResBlock(nn.Module):
 
     def setup(self):
         self.conv1 = BasicConv(self.features, self.kernel_size, relu=True,
-                               dtype=self.dtype)
+                               in_features=self.features, dtype=self.dtype)
         self.conv2 = BasicConv(self.features, self.kernel_size, relu=False,
-                               dtype=self.dtype)
-        self.se = SEBlock(dtype=self.dtype)
+                               in_features=self.features, dtype=self.dtype)
+        self.se = SEBlock(self.features, dtype=self.dtype)
         self.te = TripletAttention(dtype=self.dtype)
 
     def __call__(self, x, train: bool = False):
         x1 = self.conv2(self.conv1(x, train=train), train=train)
         x2 = self.te(x1, train=train)
         x3 = self.se(x1) + x2
+        return x3 + x
+
+    def call_fast(self, x, train: bool = False, s2d: bool = False):
+        """TPU inference path via the Pallas shifted-matmul conv. With
+        s2d=True, `x` is the space-to-depth form [B, H/2, W/2, 4C] and the
+        convs run with s2d-transformed kernels (same parameters, same math,
+        4x MXU lane utilization for C < 128)."""
+        from speinet_tpu.ops.pallas_conv import conv2d_mxu
+
+        k1, b1 = self.conv1.params()
+        k2, b2 = self.conv2.params()
+        if s2d:
+            from speinet_tpu.ops.s2d import s2d_bias
+
+            k1, k2 = s2d_kernel(k1), s2d_kernel(k2)
+            b1, b2 = s2d_bias(b1), s2d_bias(b2)
+        dt = self.dtype
+        x1 = conv2d_mxu(x.astype(dt), k1.astype(dt), b1, relu=True)
+        x1 = conv2d_mxu(x1, k2.astype(dt), b2, relu=False)
+        if s2d:
+            x2 = self.te.call_s2d(x1, train=train)
+            x3 = self.se.call_s2d(x1) + x2
+        else:
+            x2 = self.te(x1, train=train)
+            x3 = self.se(x1) + x2
         return x3 + x

@@ -129,7 +129,11 @@ class TransferUnit(nn.Module):
         if self.use_pallas and _fused_enabled():
             from speinet_tpu.ops.pallas_corr import correlation_argmax_pallas
 
-            s, idx = correlation_argmax_pallas(lr_n, ref_n)
+            # when the model runs bf16, feed the correlation matmul bf16
+            # operands (f32 accumulation inside the kernel) — the MXU runs
+            # bf16 ~4x faster and the cosine scores only gate a max/argmax
+            s, idx = correlation_argmax_pallas(lr_n.astype(self.dtype),
+                                               ref_n.astype(self.dtype))
         else:
             s, idx = correlation_argmax(lr_n, ref_n, chunk=self.chunk)
 

@@ -163,13 +163,14 @@ class SPEINet(nn.Module):
         kernel = box_kernel(5, dtype=jnp.float32)
         mid = frame_list[mid_i]
         deb_mid = richardson_lucy(mid.transpose(0, 3, 1, 2).astype(jnp.float32),
-                                  kernel, 5, 0.01).transpose(0, 2, 3, 1)
+                                  kernel, 5, 0.01,
+                                  box_size=5).transpose(0, 2, 3, 1)
         deb_nb = []
         if neighbors:
             nb_stack = jnp.concatenate([frame_list[i] for i in neighbors], axis=0)
             deb_all = richardson_lucy(
                 nb_stack.transpose(0, 3, 1, 2).astype(jnp.float32),
-                kernel, 1, 0.01).transpose(0, 2, 3, 1)
+                kernel, 1, 0.01, box_size=5).transpose(0, 2, 3, 1)
             b = mid.shape[0]
             deb_nb = [deb_all[k * b : (k + 1) * b] for k in range(len(neighbors))]
 
@@ -183,9 +184,9 @@ class SPEINet(nn.Module):
             stack.append(frame_list[i])
             stack.append(deb_nb[k].astype(self.dtype))
         enc_in = jnp.concatenate(stack, axis=0)
-        lv1_all = r.in_block(enc_in, train=train)
-        lv2_all = r.encoder_first(lv1_all, train=train)
-        lv3_all = r.encoder_second(lv2_all, train=train)
+        # one batched pyramid pass; on TPU inference this runs the lv1/lv2
+        # stages in space-to-depth layout through the Pallas conv kernel
+        lv1_all, lv2_all, lv3_all = r.encode_pyramid(enc_in, train=train)
         sharp_lv1 = lv1_all[:b]
         sharp_lv2 = lv2_all[:b]
         sharp_lv3 = lv3_all[:b]

@@ -32,6 +32,33 @@ def chop_batch(x: jnp.ndarray, shave: int = 20) -> jnp.ndarray:
     return jnp.concatenate([tl, tr, bl, br], axis=0)
 
 
+def chop_forward(forward_fn, x: jnp.ndarray, shave: int = 20,
+                 min_size: int = 160000) -> jnp.ndarray:
+    """Recursive 4-quadrant chopped forward (parity:
+    inference_SPEINet.py:545-607). Below `6 * min_size` pixels the four
+    overlapping tiles run as ONE batched forward; above it each tile
+    recurses, so arbitrarily large frames (>720p) fit in memory. Shapes are
+    static per recursion level, so the whole tree traces into one jitted
+    program.
+
+    forward_fn: [4B, T, C, hs, ws] -> [4B, C, hs, ws]
+    x: [B, T, C, H, W] -> [B, C, H, W]
+    """
+    h, w = x.shape[-2:]
+    tiles = chop_batch(x, shave=shave)
+    # leaf when small enough — or when tiles would stop shrinking (tile
+    # size floors at ~2*shave), which would otherwise recurse forever
+    shrinking = (h // 2 + shave < h) and (w // 2 + shave < w)
+    if h * w < 6 * min_size or not shrinking:
+        y = forward_fn(tiles)
+    else:
+        b = x.shape[0]
+        y = jnp.concatenate(
+            [chop_forward(forward_fn, tiles[i * b:(i + 1) * b], shave, min_size)
+             for i in range(4)], axis=0)
+    return chop_merge(y, h, w)
+
+
 def chop_merge(y: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Reassemble tiles from chop_batch's output.
 

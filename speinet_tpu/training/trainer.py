@@ -82,7 +82,8 @@ class Trainer:
         lr = lr_for_epoch(self.cfg, self.epoch)
         self.state = self.state.replace(lr=jnp.asarray(lr, jnp.float32))
         self.ckp.write_log(f"Epoch {self.epoch:3d} with Lr {lr:.2e}")
-        self.ckp.start_log()
+        from speinet_tpu.training.loss import LossComputer
+        self.ckp.start_log(comp_names=LossComputer(self.cfg.loss).names)
         sharding = batch_sharding(self.mesh)
         n_batches = 0
         t0 = time.time()
@@ -93,7 +94,9 @@ class Trainer:
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, total, comps = self.train_step(self.state, inputs,
                                                        gt_center, step_rng)
-            self.ckp.report_log(float(total))
+            self.ckp.report_log(float(total),
+                                components={k: float(v)
+                                            for k, v in comps.items()})
             n_batches += 1
             if (batch + 1) % self.cfg.print_every == 0:
                 comp_str = "".join(

@@ -7,7 +7,10 @@ Directory layout matches the reference:
         log.txt              (tee'd text log)
         config.txt           (config dump, appended per run)
         loss.npy, psnr.npy   (metric logs; the reference uses torch .pt)
-        psnr.pdf, loss_*.pdf (plots)
+        loss_components.npy  (per-epoch per-loss-type matrix,
+                              parity: Loss/__init__.py:126-128 loss_log.pt)
+        psnr.pdf, loss.pdf, loss_loss_{type}.pdf  (plots; per-type plots
+                              parity: Loss/__init__.py:105-118)
 Resume (`--load`) restores the metric logs so the epoch counter and the
 LR fast-forward match the reference semantics (log/log.py:25-31).
 """
@@ -29,7 +32,10 @@ class Logger:
         self.cfg = cfg
         self.psnr_log: List[float] = []
         self.loss_log: List[float] = []
-        self.loss_components: List[Dict[str, float]] = []
+        # per-epoch per-component matrix (rows [n_components]); column names
+        # fixed on the first start_log (parity: Loss/__init__.py:48-49,92)
+        self.comp_names: List[str] = []
+        self.comp_log: List[np.ndarray] = []
 
         if cfg.load == ".":
             save = cfg.save if cfg.save != "." else \
@@ -40,6 +46,13 @@ class Logger:
             if os.path.exists(os.path.join(self.dir, "psnr.npy")):
                 self.psnr_log = list(np.load(os.path.join(self.dir, "psnr.npy")))
                 self.loss_log = list(np.load(os.path.join(self.dir, "loss.npy")))
+                comp_path = os.path.join(self.dir, "loss_components.npy")
+                if os.path.exists(comp_path):
+                    mat = np.load(comp_path)
+                    names_path = os.path.join(self.dir, "loss_components_names.txt")
+                    with open(names_path) as f:
+                        self.comp_names = f.read().split()
+                    self.comp_log = [row for row in mat]
                 print(f"Continue from epoch {len(self.psnr_log)}...")
 
         os.makedirs(os.path.join(self.dir, "model"), exist_ok=True)
@@ -58,22 +71,34 @@ class Logger:
         self.log_file.write(log + "\n")
         self.log_file.flush()
 
-    # start/report/end accumulator protocol (log/log.py:83-99)
-    def start_log(self, train: bool = True):
+    # start/report/end accumulator protocol (log/log.py:83-99); the
+    # per-component columns mirror Loss/__init__.py:92-94 (start_log
+    # appends a zero row, end_log divides by the batch count)
+    def start_log(self, train: bool = True, comp_names: List[str] = None):
         if train:
             self.loss_log.append(0.0)
+            if comp_names:
+                if not self.comp_names:
+                    self.comp_names = list(comp_names)
+                self.comp_log.append(np.zeros(len(self.comp_names)))
         else:
             self.psnr_log.append(0.0)
 
-    def report_log(self, item: float, train: bool = True):
+    def report_log(self, item: float, train: bool = True,
+                   components: Dict[str, float] = None):
         if train:
             self.loss_log[-1] += item
+            if components and self.comp_names and len(self.comp_log):
+                self.comp_log[-1] += np.asarray(
+                    [components.get(n, 0.0) for n in self.comp_names])
         else:
             self.psnr_log[-1] += item
 
     def end_log(self, n_div: int, train: bool = True):
         if train:
             self.loss_log[-1] /= n_div
+            if self.comp_log:
+                self.comp_log[-1] = self.comp_log[-1] / n_div
         else:
             self.psnr_log[-1] /= n_div
 
@@ -82,6 +107,17 @@ class Logger:
         np.save(os.path.join(self.dir, "loss.npy"), np.asarray(self.loss_log))
         self.plot(self.psnr_log, "PSNR", "psnr.pdf")
         self.plot(self.loss_log, "Loss", "loss.pdf")
+        if self.comp_names and self.comp_log:
+            mat = np.stack(self.comp_log)
+            np.save(os.path.join(self.dir, "loss_components.npy"), mat)
+            with open(os.path.join(self.dir, "loss_components_names.txt"),
+                      "w") as f:
+                f.write(" ".join(self.comp_names))
+            # one plot per loss type (parity: Loss/__init__.py:105-118
+            # emits loss_loss_{type}.pdf)
+            for i, name in enumerate(self.comp_names):
+                self.plot(list(mat[:, i]), f"{name} Loss",
+                          f"loss_loss_{name}.pdf")
 
     def plot(self, values, label: str, filename: str):
         if not values:

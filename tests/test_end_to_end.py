@@ -56,6 +56,14 @@ def test_main_train_one_epoch(tmp_path):
     assert (d / "psnr.npy").exists() and (d / "psnr.pdf").exists()
     psnr = np.load(d / "psnr.npy")
     assert len(psnr) == 1 and np.isfinite(psnr[0])
+    # per-component loss matrix + per-type plots (Loss/__init__.py:86-128)
+    comp = np.load(d / "loss_components.npy")
+    names = (d / "loss_components_names.txt").read_text().split()
+    assert names == ["L1", "HEM", "Total"]
+    assert comp.shape == (1, 3) and np.isfinite(comp).all()
+    assert abs(comp[0, 0] + comp[0, 1] - comp[0, 2]) < 1e-4
+    for n in names:
+        assert (d / f"loss_loss_{n}.pdf").exists()
     log = (d / "log.txt").read_text()
     assert "Epoch   1 with Lr 1.00e-04" in log
     assert "average PSNR" in log
@@ -72,6 +80,9 @@ def test_main_train_one_epoch(tmp_path):
     psnr2 = np.load(d / "psnr.npy")
     assert len(psnr2) == 2
     assert psnr2[0] == psnr[0]
+    comp2 = np.load(d / "loss_components.npy")
+    assert comp2.shape == (2, 3)
+    np.testing.assert_allclose(comp2[0], comp[0])   # resume kept epoch-1 row
 
 
 def test_inference_engine(tmp_path):

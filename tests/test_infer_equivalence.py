@@ -79,3 +79,41 @@ def test_chopped_close_to_full(rng):
     err = np.abs(merged - full).mean()
     scale = full.std() + 1e-6
     assert err < 0.5 * scale
+
+
+def test_recursive_chop_exact_for_local_fn(rng):
+    """chop_forward recurses above 6*min_size pixels; for a function with a
+    receptive field smaller than the shave the result is EXACT at every
+    level (seams included). A 24x32 frame with min_size=40 forces
+    multi-level recursion (parity: inference_SPEINet.py:545,565,578-584)."""
+    from speinet_tpu.ops.filters import box_blur_separable
+    from speinet_tpu.parallel.chop import chop_forward
+
+    x = jnp.asarray(rng.random((2, 5, 3, 24, 32)).astype(np.float32))
+    fwd = lambda t: box_blur_separable(t[:, 1], 5)   # receptive 2 < shave
+    full = np.asarray(fwd(x))
+
+    calls = []
+    def spy(t):
+        calls.append(t.shape)
+        return fwd(t)
+
+    out = np.asarray(chop_forward(spy, x, shave=6, min_size=40))
+    assert out.shape == (2, 3, 24, 32)
+    np.testing.assert_allclose(out, full, rtol=1e-5, atol=1e-6)
+    assert len(calls) > 1              # recursion actually happened
+    assert all(s[-2] * s[-1] < 6 * 40 for s in calls)   # leaves small enough
+
+
+def test_recursive_chop_real_model_big_frame(rng):
+    """A >6*min_size frame through the tiny SPEINet: shape + finite.
+    min_size=400 gives one recursion level with tile dims still %4
+    (the model's size_must_mode invariant, as in the reference)."""
+    from speinet_tpu.parallel.chop import chop_forward
+
+    model, variables = _model_and_vars()
+    fwd = lambda a: model.apply(variables, a)
+    x = jnp.asarray(_smooth(rng, h=64, w=96))
+    out = np.asarray(chop_forward(fwd, x, shave=8, min_size=400))
+    assert out.shape == (1, 3, 64, 96)
+    assert np.isfinite(out).all()

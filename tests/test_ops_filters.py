@@ -77,3 +77,23 @@ def test_wiener_identity_kernel(rng):
     k = jnp.zeros((5, 5)).at[2, 2].set(1.0)
     got = np.asarray(filters.wiener_deconv(jnp.asarray(x), k, snr=1e-8))
     np.testing.assert_allclose(got, x, rtol=1e-4, atol=1e-4)
+
+
+def test_box_blur_separable_matches_conv(rng):
+    """Separable window-sum box blur == depthwise box conv (the TPU fast
+    path used by the model's RL branch)."""
+    x = jnp.asarray(rng.random((2, 3, 24, 31)).astype(np.float32))
+    for k in (5, 11):
+        ref = filters.depthwise_conv2d(x, filters.box_kernel(k))
+        fast = filters.box_blur_separable(x, k)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(fast),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_richardson_lucy_box_path_matches_generic(rng):
+    x = jnp.asarray((rng.random((1, 3, 20, 26)) * 0.9 + 0.05).astype(np.float32))
+    k = filters.box_kernel(5)
+    ref = filters.richardson_lucy(x, k, 5, 0.01)
+    fast = filters.richardson_lucy(x, k, 5, 0.01, box_size=5)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fast),
+                               rtol=2e-4, atol=1e-5)
