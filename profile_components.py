@@ -1,7 +1,10 @@
 """Component-level timing of the 720p SPEINet forward on the real TPU.
 
-Times each hot stage separately (jit'd in isolation) so the perf work
-targets the real bottleneck. Prints one line per stage.
+Methodology: the remote TPU relay evaluates lazily (block_until_ready can
+return before execution; identical calls can be elided), so every
+measurement chains iterations through a scalar data dependency and ends
+with a host readback; cost is the SLOPE between an n1- and n2-iteration
+run (constant readback overhead cancels).
 """
 
 import os
@@ -13,19 +16,39 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def timed(fn, *args, n=5, name=""):
+def slope(fn, x0, name="", n1=1, n2=5, reps=3):
+    """fn: x -> (x_next, out). Returns true per-iteration seconds."""
+    import jax.numpy as jnp
+
+    def run(k):
+        x = x0
+        t0 = time.time()
+        for _ in range(k):
+            x, out = fn(x)
+        float(jnp.sum(out.astype(jnp.float32)))
+        return time.time() - t0
+
+    run(1)  # compile
+    t1 = min(run(n1) for _ in range(reps))
+    t2 = min(run(n2) for _ in range(reps))
+    per = (t2 - t1) / (n2 - n1)
+    print(f"{name:40s} {per*1000:9.1f} ms", flush=True)
+    return per
+
+
+def chained(jit_fn):
+    """Wrap out = f(x) into x' = x*(1+eps*mean(out)) for serialization."""
     import jax
-    t0 = time.time()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
-    t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / n
-    print(f"{name:30s} {dt*1000:9.1f} ms   (compile {compile_s:6.1f} s)", flush=True)
-    return dt
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(x):
+        out = jit_fn(x)
+        leaves = jax.tree_util.tree_leaves(out)
+        s = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
+        return x * (1.0 + 1e-12 * s), leaves[0]
+
+    return step
 
 
 def main():
@@ -47,69 +70,72 @@ def main():
     h4, w4 = h // 4, w // 4
     b = int(os.environ.get("PROF_BATCH", "1"))
     rng = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(1)
 
-    # --- RL edge branch (720p, f32) ---
+    # --- RL edge branch ---
     kernel = box_kernel(5, dtype=jnp.float32)
-    img = jnp.ones((b, 3, h, w), jnp.float32) * 0.5
-    rl5 = jax.jit(lambda x: richardson_lucy(x, kernel, 5, 0.01))
-    timed(rl5, img, name="RL deconv x5 (mid)")
-    img2 = jnp.ones((2 * b, 3, h, w), jnp.float32) * 0.5
-    rl1 = jax.jit(lambda x: richardson_lucy(x, kernel, 1, 0.01))
-    timed(rl1, img2, name="RL deconv x1 (2 neighbors)")
+    img = jax.random.uniform(key, (3 * b, 3, h, w), jnp.float32, 0.1, 1.0)
+    slope(chained(lambda x: richardson_lucy(x, kernel, 5, 0.01, box_size=5)),
+          img, name="RL x5 (3b imgs, sep box)")
 
-    # --- encoder legs: 7b stacked through ReconsVideo encoder ---
+    # --- encoder pyramid (fast path) x7 legs ---
     enc = ReconsVideo(n_feat=32, n_resblock=3, out_channels=3, dtype=dtype)
-    x7 = jnp.ones((7 * b, h, w, 3), dtype) * 0.5
-    ev = enc.init(rng, x7[:1], method=lambda m, x: m.encoder_second(
-        m.encoder_first(m.in_block(x))))
+    x7 = jax.random.uniform(key, (7 * b, h, w, 3), dtype)
+    ev = enc.init(rng, jnp.zeros((1, 40, 40, 3), dtype))
+    slope(chained(lambda t: enc.apply(
+        ev, t, method=lambda m, u: m.encode_pyramid(u))), x7,
+        name="encode_pyramid x7 (pallas s2d)")
 
-    def enc_fn(x):
-        def run(m, x):
-            lv1 = m.in_block(x)
-            lv2 = m.encoder_first(lv1)
-            lv3 = m.encoder_second(lv2)
-            return lv1, lv2, lv3
-        return enc.apply(ev, x, method=run)
-
-    enc_j = jax.jit(enc_fn)
-    lv1, lv2, lv3 = enc_j(x7)
-    timed(enc_j, x7, name="encoder x7 legs")
-
-    # --- swin fusion: batched 2b call at lv3 ---
+    # --- swin fusion 2b batched ---
     swin = SwinIRCross(embed_dim=256, depths=(6,) * 6, num_heads=(8,) * 6,
                        window_size=5, mlp_ratio=2.0, dtype=dtype)
-    f_mid = jnp.ones((2 * b, h4, w4, 128), dtype) * 0.5
+    f_mid = jax.random.normal(key, (2 * b, h4, w4, 128), dtype) * 0.1
     sv = swin.init(rng, f_mid[:1], f_mid[:1], deterministic=True)
-    swin_j = jax.jit(lambda x, y: swin.apply(sv, x, y, deterministic=True))
-    timed(swin_j, f_mid, f_mid, name="swin fusion (2b batched)")
+    slope(chained(lambda t: swin.apply(sv, t, t, deterministic=True)), f_mid,
+          name="swin fusion (2b batched)")
 
-    # --- transfer unit (correlation + gather_fold) ---
+    # --- transfer unit ---
     tr = TransferUnit(n_feat=32, dtype=dtype)
-    ff = jnp.ones((b, h4, w4, 128), dtype) * 0.5
-    s1 = jnp.ones((b, h, w, 32), dtype) * 0.5
-    s2 = jnp.ones((b, h // 2, w // 2, 64), dtype) * 0.5
-    s3 = jnp.ones((b, h4, w4, 128), dtype) * 0.5
+    ff = jax.random.normal(key, (b, h4, w4, 128), dtype) * 0.1
+    s1 = jax.random.normal(key, (b, h, w, 32), dtype) * 0.1
+    s2 = jax.random.normal(key, (b, h // 2, w // 2, 64), dtype) * 0.1
+    s3 = jax.random.normal(key, (b, h4, w4, 128), dtype) * 0.1
     hs = jnp.ones((b,), bool)
     tv = tr.init(rng, ff, s1, s2, s3, hs)
-    tr_j = jax.jit(lambda *a: tr.apply(tv, *a))
-    timed(tr_j, ff, s1, s2, s3, hs, name="transfer (corr+gather_fold)")
+    slope(chained(lambda t: tr.apply(tv, t, s1, s2, s3, hs)), ff,
+          name="transfer (corr+gather_fold)")
 
-    # correlation kernel alone
+    # --- correlation kernel alone (bf16) ---
     from speinet_tpu.ops.pallas_corr import correlation_argmax_pallas
     l = h4 * w4
     d = 128 * 9
-    lr_n = jnp.ones((b, d, l), jnp.float32) * 0.03
-    ref_n = jnp.ones((b, l, d), jnp.float32) * 0.03
-    corr_j = jax.jit(correlation_argmax_pallas)
-    timed(corr_j, lr_n, ref_n, name="corr kernel f32")
+    lr_n = jax.random.normal(key, (b, d, l), dtype) * 0.03
+    ref_n = jax.random.normal(key, (b, l, d), dtype) * 0.03
+    slope(chained(lambda t: correlation_argmax_pallas(t, ref_n)[0]), lr_n,
+          name="corr kernel bf16")
 
-    # --- decoder-ish: full model forward for the total ---
+    # --- decoder stages at batch b ---
+    dec_in = jax.random.normal(key, (b, h4, w4, 128), dtype) * 0.1
+
+    def decode(m, t):
+        d2 = m.decoder_second(t)
+        d1 = m.decoder_first(d2)
+        return m.out_block(d1)
+
+    slope(chained(lambda t: enc.apply(ev, t, method=decode)), dec_in,
+          name="decoder (d2+d1+out, fast)")
+
+    # --- FULL forward ---
     model = SPEINet.from_config(cfg)
-    x = jnp.ones((b, 5, 3, h, w), jnp.float32) * 0.5
-    xs = jnp.zeros((1, 5, 3, 80, 80), jnp.float32)
-    variables = model.init(rng, xs)
-    fwd = jax.jit(lambda inp: model.apply(variables, inp, train=False))
-    timed(fwd, x, name="FULL forward")
+    x = jax.random.uniform(key, (b, 5, 3, h, w), jnp.float32, 0.1, 1.0)
+    variables = model.init(rng, jnp.zeros((1, 5, 3, 80, 80), jnp.float32))
+
+    @jax.jit
+    def full_step(t):
+        out = model.apply(variables, t, train=False)
+        return t.at[:, 1].add(out * 1e-9), out
+
+    slope(full_step, x, name="FULL forward", n1=1, n2=4)
 
 
 if __name__ == "__main__":

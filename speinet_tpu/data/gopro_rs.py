@@ -85,6 +85,62 @@ def generate_dataset(
     return written
 
 
+DEFAULT_SPLIT_RATIOS = {
+    # per-split ratio menus (parity: mix_choice_dataset.py:137-155 —
+    # train/test draw one of {0.1, 0.3, 0.5} per video, val is fixed 0.5)
+    "train": (0.1, 0.3, 0.5),
+    "val": (0.5,),
+    "test": (0.1, 0.3, 0.5),
+}
+
+
+def generate_splits(
+    src_dirs: dict,
+    out_dir: str,
+    split_ratios: dict = None,
+    seed: int = 0,
+    manifest: str = "dataset_manifest.json",
+) -> dict:
+    """Per-split generation (parity: mix_choice_dataset.py:78-192): each
+    split has its own source tree and its own ratio menu; one ratio is
+    drawn per video; output lands under {out}/{split}/{blur,gt,label} and a
+    JSON manifest of per-split frame paths + labels is written (the
+    reference's save_output_to_file, :121-136).
+
+    src_dirs: {"train": <sharp dir>, "val": ..., "test": ...} (any subset).
+    Returns {split: [video names]}.
+    """
+    import glob
+    import json
+
+    split_ratios = split_ratios or DEFAULT_SPLIT_RATIOS
+    written = {}
+    payload = {}
+    for si, (split, src) in enumerate(sorted(src_dirs.items())):
+        ratios = tuple(split_ratios[split])
+        split_out = os.path.join(out_dir, split)
+        written[split] = generate_dataset(src, split_out, ratios=ratios,
+                                          seed=seed + si,
+                                          mixed=len(ratios) > 1)
+        blur_paths, gt_paths, labels = [], [], []
+        for v in written[split]:
+            blur_paths.append(sorted(glob.glob(
+                os.path.join(split_out, "blur", v, "*.png"))))
+            gt_paths.append(sorted(glob.glob(
+                os.path.join(split_out, "gt", v, "*.png"))))
+            labels.append(np.load(
+                os.path.join(split_out, "label", v + ".npy")).tolist())
+        cap = split.capitalize()
+        payload[f"{cap} Blurry Paths"] = blur_paths
+        payload[f"{cap} GT Paths"] = gt_paths
+        payload[f"{cap} Labels"] = labels
+    if manifest:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, manifest), "w") as f:
+            json.dump(payload, f, indent=4)
+    return written
+
+
 def split_dataset(root: str, out_train: str, out_val: str, val_fraction: float = 0.1,
                   seed: int = 0) -> None:
     """90/10 video-level split (parity: LD_detector/split.py)."""

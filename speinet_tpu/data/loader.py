@@ -4,7 +4,14 @@ Replaces torch DataLoader (data/__init__.py:33-66): a thread pool decodes
 and assembles samples (the reference uses n_threads=8 worker processes);
 batches are asynchronously transferred so host decode overlaps device
 compute. Under a dp mesh, batches are placed with the batch axis sharded
-across devices (per-host sharding for multi-host).
+across devices.
+
+Multi-host (SURVEY.md §2.2 "data loading sharded per host process"):
+every process builds the SAME shuffled order (seed+epoch only), then
+loads only its `process_index::process_count` stride of each global
+batch; `prefetch_to_device` assembles the logically-global array from the
+process-local shard via `jax.make_array_from_process_local_data`, so no
+host ever materializes the full global batch.
 """
 
 from __future__ import annotations
@@ -25,7 +32,8 @@ class BatchIterator:
     """Shuffled epoch iterator producing stacked numpy batches."""
 
     def __init__(self, dataset: VideoDataset, batch_size: int, shuffle: bool,
-                 seed: int, n_threads: int = 8, drop_last: bool = False):
+                 seed: int, n_threads: int = 8, drop_last: bool = False,
+                 process_index: int = 0, process_count: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -33,6 +41,16 @@ class BatchIterator:
         self.epoch = 0
         self.n_threads = n_threads
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1:
+            if batch_size % process_count:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide evenly over "
+                    f"{process_count} processes")
+            if not drop_last:
+                raise ValueError("multi-host loading requires drop_last so "
+                                 "every process sees equal shards")
 
     def __len__(self):
         n = len(self.ds)
@@ -55,6 +73,9 @@ class BatchIterator:
                 chunk = order[start : start + self.batch_size]
                 if self.drop_last and len(chunk) < self.batch_size:
                     break
+                # per-process stride of the global batch: this process
+                # decodes only 1/P of the samples
+                chunk = chunk[self.process_index::self.process_count]
                 samples = list(pool.map(fetch, chunk))
                 inputs = np.stack([s[0] for s in samples])
                 gts = np.stack([s[1] for s in samples])
@@ -75,12 +96,19 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
     """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    multihost = sharding is not None and jax.process_count() > 1
+
+    def place(a):
+        if not (isinstance(a, np.ndarray) and sharding is not None):
+            return a
+        if multihost:
+            # each process holds 1/P of the batch; assemble the global
+            # jax.Array from the process-local shard (no host gathers all)
+            return jax.make_array_from_process_local_data(sharding, a)
+        return jax.device_put(a, sharding)
 
     def put(batch):
-        arrays = tuple(
-            jax.device_put(a, sharding) if isinstance(a, np.ndarray) and sharding is not None
-            else a for a in batch)
-        q.put(arrays)
+        q.put(tuple(place(a) for a in batch))
 
     def producer():
         try:
@@ -125,7 +153,9 @@ class Data:
             self.loader_train = BatchIterator(trainset, cfg.batch_size,
                                               shuffle=True, seed=cfg.seed,
                                               n_threads=cfg.n_threads,
-                                              drop_last=True)
+                                              drop_last=True,
+                                              process_index=jax.process_index(),
+                                              process_count=jax.process_count())
         else:
             self.loader_train = None
         testset = make_dataset(cfg, cfg.data_test, train=False)

