@@ -1,0 +1,127 @@
+"""End-to-end quality evidence on TPU (VERDICT round-1 weak #5).
+
+Generates a synthetic GoProRS tree (the in-repo generator: sharp frames ->
+windowed-mean blur + labels), trains the FULL-template SPEINet for a few
+hundred steps, evaluates with the inference engine, and reports output
+PSNR vs the blurry-input PSNR. The claim being evidenced: the training
+loop + model improve over the input, i.e. the pipeline learns.
+
+Usage:  python scripts/quality_evidence.py [--steps 300] [--out docs/quality_evidence]
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_sharp_videos(root, n_videos=4, n_frames=150, h=256, w=320, seed=7):
+    """Synthetic sharp videos: drifting band-limited texture (enough
+    structure for deblurring to be learnable, cheap to synthesize)."""
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(seed)
+    for v in range(n_videos):
+        d = os.path.join(root, f"video{v:02d}")
+        os.makedirs(d, exist_ok=True)
+        # band-limited random field, periodic -> drift by rolling
+        base = rng.standard_normal((h, w, 3))
+        f = np.fft.rfft2(base, axes=(0, 1))
+        yy = np.fft.fftfreq(h)[:, None, None]
+        xx = np.fft.rfftfreq(w)[None, :, None]
+        f *= np.exp(-((yy * 14) ** 2 + (xx * 14) ** 2))
+        tex = np.fft.irfft2(f, s=(h, w), axes=(0, 1))
+        tex = (tex - tex.min()) / (tex.ptp() + 1e-9)
+        dx, dy = int(rng.integers(2, 5)), int(rng.integers(1, 4))
+        for i in range(n_frames):
+            img = np.roll(tex, (i * dy, i * dx), axis=(0, 1))
+            imageio.imwrite(os.path.join(d, f"{i:05d}.png"),
+                            (img * 255).astype(np.uint8))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--out", default="docs/quality_evidence")
+    p.add_argument("--work", default="/tmp/quality_evidence")
+    args = p.parse_args()
+
+    from speinet_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+    from speinet_tpu.data.gopro_rs import generate_dataset
+    from speinet_tpu.main_train import main as train_main
+    from speinet_tpu.infer import Inference
+    from speinet_tpu.config import Config, set_template
+
+    os.makedirs(args.out, exist_ok=True)
+    sharp = os.path.join(args.work, "sharp")
+    tree = os.path.join(args.work, "rs")
+    if not os.path.exists(os.path.join(tree, "blur")):
+        print("generating synthetic GoProRS tree...", flush=True)
+        make_sharp_videos(sharp)
+        generate_dataset(sharp, tree, ratios=(0.5,), mixed=False, seed=3)
+
+    # dataset length = n_videos * n_frames_per_video * 2; pick
+    # n_frames_per_video so one epoch is ~args.steps batches
+    per_video = max(4, args.steps * args.batch // (4 * 2))
+    exp = os.path.join(args.work, "exp")
+    t0 = time.time()
+    train_main([
+        "--template", "SPEINet", "--dir_data", tree, "--dir_data_test", tree,
+        "--experiment_dir", exp + "/", "--save", "run", "--epochs", "1",
+        "--batch_size", str(args.batch), "--patch_size", "200",
+        "--n_frames_per_video", str(per_video), "--print_every", "20",
+        "--save_images", "false",
+    ])
+    train_sec = time.time() - t0
+    print(f"train wall: {train_sec:.0f}s", flush=True)
+
+    # evaluate: model output PSNR vs blurry-input PSNR over the tree
+    cfg = set_template(Config(template="SPEINet"))
+    inf = Inference(cfg, tree,
+                    model_path=os.path.join(exp, "run", "model", "model_best"),
+                    result_path=os.path.join(args.work, "results"),
+                    save_image=False)
+    psnr, ssim = inf.infer()
+
+    # blurry-input baseline PSNR (center frame vs gt, same shave)
+    import imageio.v2 as imageio
+    from speinet_tpu.ops.metrics import psnr_uint8_host
+    base = []
+    for v in sorted(os.listdir(os.path.join(tree, "blur"))):
+        bf = sorted(glob.glob(os.path.join(tree, "blur", v, "*.png")))
+        gf = sorted(glob.glob(os.path.join(tree, "gt", v, "*.png")))
+        for b, g in zip(bf, gf):
+            bi = imageio.imread(b).astype(np.float64)
+            gi = imageio.imread(g).astype(np.float64)
+            base.append(psnr_uint8_host(gi, bi, crop_border=4))
+    blurry_psnr = float(np.mean(base))
+
+    summary = {
+        "steps": args.steps, "batch": args.batch,
+        "train_wall_sec": round(train_sec, 1),
+        "blurry_input_psnr": round(blurry_psnr, 3),
+        "model_output_psnr": round(float(psnr), 3),
+        "model_output_ssim": round(float(ssim), 4),
+        "gain_db": round(float(psnr) - blurry_psnr, 3),
+    }
+    print(json.dumps(summary, indent=2))
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    # copy training log + loss curve into the evidence dir
+    import shutil
+    for name in ("log.txt", "loss.npy", "psnr.npy", "loss_components.npy"):
+        src = os.path.join(exp, "run", name)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(args.out, name))
+
+
+if __name__ == "__main__":
+    main()

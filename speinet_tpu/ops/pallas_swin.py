@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, y_ref, ls_ref, lb_ref, wkv_ref, bkv_ref, wq_ref, bq_ref,
             wp_ref, bp_ref, bias_ref, mask_ref, o_ref, *, ws: int, g: int,
-            r_rows: int, heads: int, scale: float):
+            r_rows: int, heads: int, scale: float, batch_heads: bool):
     n = ws * ws
     gn = g * n
     c = x_ref.shape[-1]
@@ -64,6 +64,19 @@ def _kernel(x_ref, y_ref, ls_ref, lb_ref, wkv_ref, bkv_ref, wq_ref, bq_ref,
         mask = mask_ref[r, 0]
         qr = q[r * gn : (r + 1) * gn]
         kvr = kv[r * gn : (r + 1) * gn]
+        if batch_heads:
+            # all heads in two batched MXU contractions
+            qh = qr.reshape(gn, heads, hd).transpose(1, 0, 2)
+            kh = kvr[:, :c].reshape(gn, heads, hd).transpose(1, 0, 2)
+            vh = kvr[:, c:].reshape(gn, heads, hd).transpose(1, 0, 2)
+            s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            s = s + mask[None] + bias_ref[:]
+            p = jax.nn.softmax(s, axis=-1).astype(xw.dtype)
+            o = jax.lax.dot_general(p, vh, (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            outs.append(o.transpose(1, 0, 2).reshape(gn, c))
+            continue
         heads_out = []
         for h in range(heads):
             qh = qr[:, h * hd : (h + 1) * hd]
@@ -219,12 +232,17 @@ def fused_window_cross_attention(
     """xn, yn: [B, Hp, Wp, C] RAW (un-normalized) but already rolled/padded;
     norm1 runs inside the kernel. Returns the attention output image
     [B, Hp, Wp, C] (pre-residual, still rolled)."""
+    import os
+
     b, hp, wpx, c = xn.shape
-    g = pick_group(wpx // ws)
+    g = pick_group(wpx // ws, max_g=int(os.environ.get("SPEINET_SWIN_G", "8")))
     n = ws * ws
-    # window rows per grid step: 1 measured fastest (larger R amortizes DMA
-    # setup but loses pipelining overlap between grid steps)
-    r_rows = 1
+    # window rows per grid step (tunable; larger R amortizes weight reads,
+    # smaller R pipelines better)
+    r_rows = int(os.environ.get("SPEINET_SWIN_R", "1"))
+    while (hp // ws) % r_rows:
+        r_rows -= 1
+    batch_heads = os.environ.get("SPEINET_SWIN_HEADBATCH", "0") == "1"
     mask = jnp.asarray(packed_mask(hp, wpx, ws, shift, pad_h, pad_w, g))
     mask = mask.reshape(hp // ws, wpx // (g * ws), g * n, g * n)
     scale = float((c // heads) ** -0.5)
@@ -233,7 +251,7 @@ def fused_window_cross_attention(
     bias_packed = jnp.einsum("ij,hmn->himjn", eye, bias).reshape(heads, g * n, g * n)
 
     kernel = functools.partial(_kernel, ws=ws, g=g, r_rows=r_rows, heads=heads,
-                               scale=scale)
+                               scale=scale, batch_heads=batch_heads)
     grid = (b, hp // (r_rows * ws), wpx // (g * ws))
     gws = g * ws
     rws = r_rows * ws

@@ -85,6 +85,22 @@ def test_swin_block_bf16(rng, monkeypatch):
     np.testing.assert_allclose(ref, fused, rtol=0.05, atol=0.05)
 
 
+def test_swin_block_head_batched(rng, monkeypatch):
+    """SPEINET_SWIN_HEADBATCH=1 routes scores through two batched
+    dot_generals instead of a per-head python loop; same numerics."""
+    monkeypatch.setenv("SPEINET_SWIN_HEADBATCH", "1")
+    ref, fused = _run_block(10, 15, 32, 4, 2, jnp.float32, rng, monkeypatch)
+    np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
+
+
+def test_swin_block_r_rows_gt1(rng, monkeypatch):
+    """SPEINET_SWIN_R>1 processes several window-rows per grid step; the
+    per-row mask indexing must still isolate each row."""
+    monkeypatch.setenv("SPEINET_SWIN_R", "2")
+    ref, fused = _run_block(10, 15, 32, 4, 2, jnp.float32, rng, monkeypatch)
+    np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
+
+
 def test_fused_ln_mlp_matches_xla(rng, monkeypatch):
     """The MLP half alone, against plain jnp math (swinir.py:279)."""
     _interp_pallas(monkeypatch)
