@@ -112,18 +112,22 @@ class TransferUnit(nn.Module):
         # NCHW for patch ops
         lr_nchw = f_fusion.transpose(0, 3, 1, 2)
         sharp3_nchw = sharp_lv3.transpose(0, 3, 1, 2)
-        # SelfTransfer reference: transpose(H, W) then flip the new H axis
-        # (SearchTransfer.py:60: x.transpose(2,3).flip(2))
-        self_ref_nchw = jnp.flip(lr_nchw.transpose(0, 1, 3, 2), axis=2)
 
         lr_unfold = unfold(lr_nchw, 3, 1, 1)                  # [B, D, L]
-        ref_search = unfold(sharp3_nchw, 3, 1, 1)             # [B, D, L]
-        ref_self = unfold(self_ref_nchw, 3, 1, 1)             # [B, D, L]
-        sel = has_sharp[:, None, None]
-        ref_unfold = jnp.where(sel, ref_search, ref_self).transpose(0, 2, 1)
-
         lr_n = _l2_normalize(lr_unfold.astype(jnp.float32), axis=1)
-        ref_n = _l2_normalize(ref_unfold.astype(jnp.float32), axis=2)
+        ref_search_n = _l2_normalize(
+            unfold(sharp3_nchw, 3, 1, 1).astype(jnp.float32), axis=1)
+        # SelfTransfer reference (SearchTransfer.py:60: x.transpose(2,3)
+        # .flip(2)): its 3x3 unfold is an exact permutation of lr_unfold —
+        # swap the kernel axes + flip one, transpose the patch grid + flip
+        # one axis — so no second unfold pass is needed, and because
+        # L2-normalization is per-patch it commutes with the permutation.
+        # All-reshape/transpose/flip: XLA fuses it into the select below.
+        lr6 = lr_n.reshape(b, c4, 3, 3, hh, ww)
+        ref_self_n = jnp.flip(lr6.transpose(0, 1, 3, 2, 5, 4),
+                              axis=(2, 4)).reshape(b, c4 * 9, l)
+        sel = has_sharp[:, None, None]
+        ref_n = jnp.where(sel, ref_search_n, ref_self_n).transpose(0, 2, 1)
         from speinet_tpu.models.swinir import _fused_enabled
 
         if self.use_pallas and _fused_enabled():

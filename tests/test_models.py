@@ -54,6 +54,20 @@ def test_correlation_argmax_matches_naive(rng):
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
 
 
+def test_self_reference_unfold_permutation(rng):
+    """The TransferUnit derives the SelfTransfer reference unfold as a pure
+    permutation of the mid-feature unfold instead of a second unfold pass;
+    must hold on NON-square grids (SearchTransfer.py:60 transposes H/W)."""
+    b, c, hh, ww = 2, 5, 6, 10
+    x = jnp.asarray(rng.standard_normal((b, c, hh, ww)).astype(np.float32))
+    self_ref = jnp.flip(x.transpose(0, 1, 3, 2), axis=2)
+    want = unfold(self_ref, 3, 1, 1)
+    lr6 = unfold(x, 3, 1, 1).reshape(b, c, 3, 3, hh, ww)
+    got = jnp.flip(lr6.transpose(0, 1, 3, 2, 5, 4),
+                   axis=(2, 4)).reshape(b, c * 9, ww * hh)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
 TINY = dict(n_feat=8, embed_dim=32, depths=(2, 2), num_heads=(4, 4),
             window_size=5, mlp_ratio=2.0, drop_path_rate=0.0, corr_chunk=64)
 
