@@ -37,7 +37,7 @@ def make_sharp_videos(root, n_videos=4, n_frames=150, h=256, w=320, seed=7):
         xx = np.fft.rfftfreq(w)[None, :, None]
         f *= np.exp(-((yy * 14) ** 2 + (xx * 14) ** 2))
         tex = np.fft.irfft2(f, s=(h, w), axes=(0, 1))
-        tex = (tex - tex.min()) / (tex.ptp() + 1e-9)
+        tex = (tex - tex.min()) / (np.ptp(tex) + 1e-9)
         dx, dy = int(rng.integers(2, 5)), int(rng.integers(1, 4))
         for i in range(n_frames):
             img = np.roll(tex, (i * dy, i * dx), axis=(0, 1))

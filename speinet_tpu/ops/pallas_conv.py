@@ -26,15 +26,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv_kernel(x0_ref, x1_ref, w_ref, b_ref, o_ref, *, k: int, tr: int,
-                 w_out: int, relu: bool):
+                 w_out: int, relu: bool, kcat: bool):
     full = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0)   # [2tr, Wp, C]
-    acc = None
-    for dy in range(k):
-        for dx in range(k):
-            sl = full[dy : dy + tr, dx : dx + w_out, :]
-            m = sl.reshape(tr * w_out, sl.shape[-1])
-            r = jnp.dot(m, w_ref[dy, dx], preferred_element_type=jnp.float32)
-            acc = r if acc is None else acc + r
+    c = full.shape[-1]
+    if kcat:
+        # gather the k*k shifted taps along the channel axis and contract
+        # them in ONE deep-K MXU matmul ([tr*W, k*k*C] x [k*k*C, Co]) —
+        # k*k small serialized matmuls leave the MXU latency-bound
+        slabs = [full[dy : dy + tr, dx : dx + w_out, :]
+                 for dy in range(k) for dx in range(k)]
+        m = jnp.concatenate(slabs, axis=-1).reshape(tr * w_out, k * k * c)
+        acc = jnp.dot(m, w_ref[:].reshape(k * k * c, -1),
+                      preferred_element_type=jnp.float32)
+    else:
+        acc = None
+        for dy in range(k):
+            for dx in range(k):
+                sl = full[dy : dy + tr, dx : dx + w_out, :]
+                m = sl.reshape(tr * w_out, c)
+                r = jnp.dot(m, w_ref[dy, dx],
+                            preferred_element_type=jnp.float32)
+                acc = r if acc is None else acc + r
     acc = acc + b_ref[:].astype(jnp.float32)
     if relu:
         acc = jnp.maximum(acc, 0.0)
@@ -42,12 +54,17 @@ def _conv_kernel(x0_ref, x1_ref, w_ref, b_ref, o_ref, *, k: int, tr: int,
 
 
 def conv2d_mxu(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None,
-               relu: bool = False, tr: int = 8) -> jnp.ndarray:
+               relu: bool = False, tr: int | None = None) -> jnp.ndarray:
     """NHWC stride-1 SAME conv (odd k), bias + optional ReLU fused.
 
     x: [B, H, W, C]; w: [k, k, C, Co]; bias: [Co] or None.
     Returns [B, H, W, Co] in x.dtype (f32 accumulation).
     """
+    import os
+
+    if tr is None:
+        tr = int(os.environ.get("SPEINET_CONV_TR", "8"))
+    kcat = os.environ.get("SPEINET_CONV_KCAT", "0") == "1"
     b, h, w_in, c = x.shape
     k = w.shape[0]
     co = w.shape[3]
@@ -63,7 +80,8 @@ def conv2d_mxu(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None,
     if bias is None:
         bias = jnp.zeros((co,), jnp.float32)
 
-    kernel = functools.partial(_conv_kernel, k=k, tr=tr, w_out=w_in, relu=relu)
+    kernel = functools.partial(_conv_kernel, k=k, tr=tr, w_out=w_in, relu=relu,
+                               kcat=kcat)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_h),

@@ -57,13 +57,20 @@ def _corr_kernel(lr_ref, ref_ref, s_ref, idx_ref, best, best_idx, *,
 
 
 def _corr_impl(lr_n: jnp.ndarray, ref_n: jnp.ndarray,
-               tl: int = 512, tk: int = 512
+               tl: int | None = None, tk: int | None = None
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """lr_n: [B, D, L] column-normalized; ref_n: [B, Lr, D] row-normalized.
 
     Returns (S [B, L] float32, idx [B, L] int32) — drop-in equivalent of
     models.search_transfer.correlation_argmax.
     """
+    import os
+
+    # tile sizes tunable on hardware without code edits (A/B knobs)
+    if tl is None:
+        tl = int(os.environ.get("SPEINET_CORR_TL", "512"))
+    if tk is None:
+        tk = int(os.environ.get("SPEINET_CORR_TK", "512"))
     b, d, l = lr_n.shape
     l_ref = ref_n.shape[1]
     lp = -(-l // tl) * tl

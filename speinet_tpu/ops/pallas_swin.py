@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, y_ref, ls_ref, lb_ref, wkv_ref, bkv_ref, wq_ref, bq_ref,
             wp_ref, bp_ref, bias_ref, mask_ref, o_ref, *, ws: int, g: int,
-            r_rows: int, heads: int, scale: float, batch_heads: bool):
+            r_rows: int, heads: int, scale: float, wide: bool):
     n = ws * ws
     gn = g * n
     c = x_ref.shape[-1]
@@ -42,13 +42,11 @@ def _kernel(x_ref, y_ref, ls_ref, lb_ref, wkv_ref, bkv_ref, wq_ref, bq_ref,
     yb = _ln(y_ref[0], ls_ref[:], lb_ref[:]).astype(y_ref.dtype)
 
     def partition(img):
-        # [R*ws, g*ws, C] -> [R*g*N, C] (row-group major, window major)
-        parts = []
-        for r in range(r_rows):
-            slab = img[r * ws : (r + 1) * ws]
-            for i in range(g):
-                parts.append(slab[:, i * ws : (i + 1) * ws, :].reshape(n, c))
-        return jnp.concatenate(parts, axis=0)
+        # [R*ws, g*ws, C] -> [R*g*N, C] (row-group major, window major);
+        # one transpose instead of per-window slice+concat — Mosaic lowers
+        # this to a single relayout
+        t = img.reshape(r_rows, ws, g, ws, c).transpose(0, 2, 1, 3, 4)
+        return t.reshape(r_rows * gn, c)
 
     xw = partition(xb)
     yw = partition(yb)
@@ -59,23 +57,46 @@ def _kernel(x_ref, y_ref, ls_ref, lb_ref, wkv_ref, bkv_ref, wq_ref, bq_ref,
     q = (q * scale).astype(xw.dtype)
     kv = kv.astype(xw.dtype)
 
+    # head-block expansion mask: hm[h, d] = 1 iff channel d belongs to head h
+    if wide:
+        ch_head = jax.lax.broadcasted_iota(jnp.int32, (heads, c), 1) // hd
+        h_ids = jax.lax.broadcasted_iota(jnp.int32, (heads, c), 0)
+        hm = (ch_head == h_ids).astype(xw.dtype)          # [heads, C]
+
     outs = []
     for r in range(r_rows):
         mask = mask_ref[r, 0]
         qr = q[r * gn : (r + 1) * gn]
         kvr = kv[r * gn : (r + 1) * gn]
-        if batch_heads:
-            # all heads in two batched MXU contractions
-            qh = qr.reshape(gn, heads, hd).transpose(1, 0, 2)
-            kh = kvr[:, :c].reshape(gn, heads, hd).transpose(1, 0, 2)
-            vh = kvr[:, c:].reshape(gn, heads, hd).transpose(1, 0, 2)
-            s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+        if wide:
+            # all heads in ONE score matmul / softmax / PV matmul via
+            # block-diagonal head expansion: the 8 serialized [gN, hd]
+            # matmuls + softmaxes leave the MXU/VPU latency-bound.
+            # K_exp[h*gN+j, d] = K[j, d] * (d in head h)  (and same for V)
+            k_exp = (kvr[None, :, :c] * hm[:, None, :]).reshape(heads * gn, c)
+            v_exp = (kvr[None, :, c:] * hm[:, None, :]).reshape(heads * gn, c)
+            # s_wide[i, h*gN+j] = sum_{d in h} q[i,d] K[j,d]: per-head scores
+            s = jax.lax.dot_general(qr, k_exp, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            s = s + mask[None] + bias_ref[:]
-            p = jax.nn.softmax(s, axis=-1).astype(xw.dtype)
-            o = jax.lax.dot_general(p, vh, (((2,), (1,)), ((0,), (0,))),
-                                    preferred_element_type=jnp.float32)
-            outs.append(o.transpose(1, 0, 2).reshape(gn, c))
+            s = s + bias_ref[:] + jnp.concatenate([mask] * heads, axis=1)
+            # softmax per head-block; a row-GLOBAL max keeps within-block
+            # ratios intact, so one wide reduction suffices
+            e = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
+            # per-block denominators via a block-indicator matmul, expanded
+            # back to channels via the head mask
+            blk = jax.lax.broadcasted_iota(jnp.int32, (heads * gn, heads), 0) // gn
+            hcol = jax.lax.broadcasted_iota(jnp.int32, (heads * gn, heads), 1)
+            ones_bd = (blk == hcol).astype(xw.dtype)       # [h*gN, heads]
+            denom = jax.lax.dot_general(
+                e.astype(xw.dtype), ones_bd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [gN, heads]
+            num = jax.lax.dot_general(
+                e.astype(xw.dtype), v_exp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [gN, C]
+            denom_c = jax.lax.dot_general(
+                denom.astype(xw.dtype), hm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [gN, C]
+            outs.append(num / denom_c)
             continue
         heads_out = []
         for h in range(heads):
@@ -95,13 +116,9 @@ def _kernel(x_ref, y_ref, ls_ref, lb_ref, wkv_ref, bkv_ref, wq_ref, bq_ref,
     res = jnp.dot(out.astype(xw.dtype), wp_ref[:],
                   preferred_element_type=jnp.float32) + bp_ref[:]
     res = res.astype(o_ref.dtype)
-    # reverse: [R*g*N, C] -> [R*ws, g*ws, C]
-    rows = []
-    for r in range(r_rows):
-        seg = res[r * gn : (r + 1) * gn]
-        parts = [seg[i * n : (i + 1) * n, :].reshape(ws, ws, c) for i in range(g)]
-        rows.append(jnp.concatenate(parts, axis=1))
-    o_ref[0] = jnp.concatenate(rows, axis=0)
+    # reverse: [R*g*N, C] -> [R*ws, g*ws, C], again one transpose
+    seg = res.reshape(r_rows, g, ws, ws, c).transpose(0, 2, 1, 3, 4)
+    o_ref[0] = seg.reshape(r_rows * ws, g * ws, c)
 
 
 def _ln(x, scale, bias, eps=1e-5):
@@ -135,9 +152,13 @@ def _ln_mlp_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref)
 
 
 def fused_ln_mlp(x: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2, b2,
-                 tl: int = 1024) -> jnp.ndarray:
+                 tl: int | None = None) -> jnp.ndarray:
     """x + fc2(gelu(fc1(LN(x)))) over [B, L, C] — the MLP half of a Swin
     block (swinir.py:279) as one VMEM-resident kernel."""
+    import os
+
+    if tl is None:
+        tl = int(os.environ.get("SPEINET_MLP_TL", "1024"))
     b, l, c = x.shape
     pad = (-l) % tl
     xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
@@ -238,20 +259,24 @@ def fused_window_cross_attention(
     g = pick_group(wpx // ws, max_g=int(os.environ.get("SPEINET_SWIN_G", "8")))
     n = ws * ws
     # window rows per grid step (tunable; larger R amortizes weight reads,
-    # smaller R pipelines better)
+    # smaller R pipelines better — R=1 measured fastest on v5e)
     r_rows = int(os.environ.get("SPEINET_SWIN_R", "1"))
     while (hp // ws) % r_rows:
         r_rows -= 1
-    batch_heads = os.environ.get("SPEINET_SWIN_HEADBATCH", "0") == "1"
+    wide = os.environ.get("SPEINET_SWIN_WIDE", "0") == "1"
     mask = jnp.asarray(packed_mask(hp, wpx, ws, shift, pad_h, pad_w, g))
     mask = mask.reshape(hp // ws, wpx // (g * ws), g * n, g * n)
     scale = float((c // heads) ** -0.5)
     # block-diagonal packed relative-position bias, built in XLA (tiny)
     eye = jnp.eye(g, dtype=bias.dtype)
     bias_packed = jnp.einsum("ij,hmn->himjn", eye, bias).reshape(heads, g * n, g * n)
+    if wide:
+        # [gN, heads*gN] layout for the single wide score matmul
+        bias_packed = bias_packed.transpose(1, 0, 2).reshape(g * n,
+                                                             heads * g * n)
 
     kernel = functools.partial(_kernel, ws=ws, g=g, r_rows=r_rows, heads=heads,
-                               scale=scale, batch_heads=batch_heads)
+                               scale=scale, wide=wide)
     grid = (b, hp // (r_rows * ws), wpx // (g * ws))
     gws = g * ws
     rws = r_rows * ws

@@ -55,6 +55,22 @@ def test_encode_pyramid_fast_matches_xla(rng, fast_mode, monkeypatch):
                                    rtol=2e-5, atol=2e-5, err_msg=name)
 
 
+def test_encode_pyramid_kcat_matches_xla(rng, fast_mode, monkeypatch):
+    """SPEINET_CONV_KCAT=1 contracts all k*k taps in one deep-K matmul;
+    numerics must match the tap-by-tap accumulation and the XLA conv."""
+    monkeypatch.setenv("SPEINET_CONV_KCAT", "1")
+    enc, x, variables = _model_and_input(rng)
+
+    monkeypatch.setattr(rv_mod, "use_fast_convs", lambda *_: False)
+    ref = enc.apply(variables, x, method=lambda m, t: m.encode_pyramid(t))
+    monkeypatch.setattr(rv_mod, "use_fast_convs", lambda *_: True)
+    fast = enc.apply(variables, x, method=lambda m, t: m.encode_pyramid(t))
+
+    for r, f_, name in zip(ref, fast, ["lv1", "lv2", "lv3"]):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(f_),
+                                   rtol=2e-5, atol=2e-5, err_msg=name)
+
+
 def test_decoder_stages_fast_match_xla(rng, fast_mode, monkeypatch):
     enc, x, variables = _model_and_input(rng)
     lv3 = enc.apply(variables, x, method=lambda m, t: m.encode_pyramid(t))[2]

@@ -85,11 +85,27 @@ def test_swin_block_bf16(rng, monkeypatch):
     np.testing.assert_allclose(ref, fused, rtol=0.05, atol=0.05)
 
 
-def test_swin_block_head_batched(rng, monkeypatch):
-    """SPEINET_SWIN_HEADBATCH=1 routes scores through two batched
-    dot_generals instead of a per-head python loop; same numerics."""
-    monkeypatch.setenv("SPEINET_SWIN_HEADBATCH", "1")
+def test_swin_block_group16(rng, monkeypatch):
+    """SPEINET_SWIN_G=16 packs 16 windows per block-diagonal matmul (the
+    default on v5e); same numerics as the XLA path."""
+    monkeypatch.setenv("SPEINET_SWIN_G", "16")
+    ref, fused = _run_block(10, 80, 32, 4, 2, jnp.float32, rng, monkeypatch)
+    np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
+
+
+def test_swin_block_wide(rng, monkeypatch):
+    """SPEINET_SWIN_WIDE=1 computes all heads in one block-diagonal score
+    matmul + one segmented softmax; numerics must match the per-head loop."""
+    monkeypatch.setenv("SPEINET_SWIN_WIDE", "1")
     ref, fused = _run_block(10, 15, 32, 4, 2, jnp.float32, rng, monkeypatch)
+    np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
+
+
+def test_swin_block_wide_padded(rng, monkeypatch):
+    """Wide path with non-multiple H/W (pad masks + zero-denominator
+    guards must hold)."""
+    monkeypatch.setenv("SPEINET_SWIN_WIDE", "1")
+    ref, fused = _run_block(9, 13, 32, 4, 0, jnp.float32, rng, monkeypatch)
     np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
 
 
