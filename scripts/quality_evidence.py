@@ -48,6 +48,7 @@ def make_sharp_videos(root, n_videos=4, n_frames=150, h=256, w=320, seed=7):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--out", default="docs/quality_evidence")
     p.add_argument("--work", default="/tmp/quality_evidence")
@@ -75,7 +76,8 @@ def main():
     t0 = time.time()
     train_main([
         "--template", "SPEINet", "--dir_data", tree, "--dir_data_test", tree,
-        "--experiment_dir", exp + "/", "--save", "run", "--epochs", "1",
+        "--experiment_dir", exp + "/", "--save", "run",
+        "--epochs", str(args.epochs),
         "--batch_size", str(args.batch), "--patch_size", "200",
         "--n_frames_per_video", str(per_video), "--print_every", "20",
         "--save_images", "false",
