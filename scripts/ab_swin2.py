@@ -61,12 +61,19 @@ def main():
     def rb(out):
         float(jnp.sum(out.astype(jnp.float32)))
 
-    for name, env in [
+    combos = [
         ("attn G16 R1 (default)", {}),
         ("attn G8 R1", {"SPEINET_SWIN_G": "8"}),
         ("attn G32 R1", {"SPEINET_SWIN_G": "32"}),
-    ]:
-        for k in ("SPEINET_SWIN_G", "SPEINET_SWIN_R", "SPEINET_SWIN_HEADBATCH"):
+        ("attn G8 R1 wide", {"SPEINET_SWIN_G": "8", "SPEINET_SWIN_WIDE": "1"}),
+        ("attn G16 R1 wide", {"SPEINET_SWIN_WIDE": "1"}),
+        ("attn G16 R2 wide", {"SPEINET_SWIN_WIDE": "1", "SPEINET_SWIN_R": "2"}),
+    ]
+    if len(sys.argv) > 1:   # e.g. "G16R1W;G8R2" quick filter by substring
+        combos = [c for c in combos if any(s in c[0] for s in sys.argv[1:])]
+    for name, env in combos:
+        for k in ("SPEINET_SWIN_G", "SPEINET_SWIN_R", "SPEINET_SWIN_HEADBATCH",
+                  "SPEINET_SWIN_WIDE"):
             os.environ.pop(k, None)
         os.environ.update(env)
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from speinet_tpu.ops.patch_ops import unfold, gather_fold_nhwc
-from speinet_tpu.ops.resize import bicubic_upsample
+from speinet_tpu.ops.resize import bicubic_upsample_nhwc
 
 Dtype = Any
 
@@ -151,11 +151,10 @@ class TransferUnit(nn.Module):
 
         # --- SelfTransfer texture path (SearchTransfer.py:72-76)
         t3_self = f_fusion
-        up2 = bicubic_upsample(lr_nchw.astype(jnp.float32), 2).transpose(0, 2, 3, 1)
+        up2 = bicubic_upsample_nhwc(f_fusion, 2)   # NHWC in place, f32 taps
         t2_self = nn.relu(nn.Conv(self.n_feat * 2, (1, 1), dtype=self.dtype,
                                   name="self_search1")(up2.astype(self.dtype)))
-        up4 = bicubic_upsample(t2_self.transpose(0, 3, 1, 2).astype(jnp.float32), 2)
-        up4 = up4.transpose(0, 2, 3, 1)
+        up4 = bicubic_upsample_nhwc(t2_self, 2)
         t1_self = nn.relu(nn.Conv(self.n_feat, (1, 1), dtype=self.dtype,
                                   name="self_search2")(up4.astype(self.dtype)))
 

@@ -36,15 +36,16 @@ from speinet_tpu.models.recons_video import ReconsVideo
 from speinet_tpu.models.swinir import SwinIRCross
 from speinet_tpu.models.search_transfer import TransferUnit
 from speinet_tpu.ops.filters import box_kernel, richardson_lucy
-from speinet_tpu.ops.resize import bicubic_upsample
+from speinet_tpu.ops.resize import bicubic_upsample_nhwc
 
 Dtype = Any
 
 
 def _up2(x_nhwc: jnp.ndarray, scale: int) -> jnp.ndarray:
-    """Bicubic upsample on NHWC (torch F.interpolate parity)."""
-    y = bicubic_upsample(x_nhwc.transpose(0, 3, 1, 2).astype(jnp.float32), scale)
-    return y.transpose(0, 2, 3, 1)
+    """Bicubic upsample on NHWC (torch F.interpolate parity); taps run
+    as shifted slices over H/W with the channel axis fixed — no
+    NCHW relayouts (f32 tap accumulation inside)."""
+    return bicubic_upsample_nhwc(x_nhwc, scale)
 
 
 class SPEINet(nn.Module):

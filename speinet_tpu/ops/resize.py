@@ -50,26 +50,37 @@ def _phase_taps(scale: int):
 
 
 def _upsample_axis(x: jnp.ndarray, scale: int, axis: int) -> jnp.ndarray:
-    """1-D bicubic upsample along `axis` by integer `scale`."""
+    """1-D bicubic upsample along `axis` by integer `scale`.
+
+    Works in place on `axis` (no transposes): the 4 taps are shifted
+    slices along the axis, phases interleave via a stack+reshape at
+    `axis`+1. On TPU this keeps the trailing (lane) axis untouched, so
+    NHWC feature maps upsample without any relayout.
+    """
+    import jax.lax as lax
+
     if scale == 1:
         return x
-    x = jnp.moveaxis(x, axis, -1)
-    n = x.shape[-1]
+    axis = axis % x.ndim
+    n = x.shape[axis]
     # Border handling: PyTorch clamps source indices to [0, n-1] (replicate).
-    xp = jnp.concatenate([x[..., :1], x[..., :1], x, x[..., -1:], x[..., -1:]], axis=-1)
+    first = lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = lax.slice_in_dim(x, n - 1, n, axis=axis)
+    xp = jnp.concatenate([first, first, x, last, last], axis=axis)
     # xp index i corresponds to source index i - 2
+    acc_dtype = jnp.float32   # 4-tap accumulation in f32 regardless of input
     phases = []
     for base, w in _phase_taps(scale):
         # taps at source indices k + base - 1 .. k + base + 2 -> xp[k + base + 1 ...]
         s0 = base + 1
         acc = None
         for j in range(4):
-            term = w[j] * xp[..., s0 + j : s0 + j + n].astype(jnp.float32)
+            sl = lax.slice_in_dim(xp, s0 + j, s0 + j + n, axis=axis)
+            term = jnp.asarray(w[j], acc_dtype) * sl.astype(acc_dtype)
             acc = term if acc is None else acc + term
         phases.append(acc)
-    out = jnp.stack(phases, axis=-1)           # [..., n, scale]
-    out = out.reshape(*out.shape[:-2], n * scale)
-    return jnp.moveaxis(out, -1, axis).astype(x.dtype)
+    out = jnp.stack(phases, axis=axis + 1)     # [..., n, scale, ...]
+    return out.reshape(*x.shape[:axis], n * scale, *x.shape[axis + 1:]).astype(x.dtype)
 
 
 def bicubic_upsample(x: jnp.ndarray, scale: int) -> jnp.ndarray:
@@ -80,4 +91,15 @@ def bicubic_upsample(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     """
     x = _upsample_axis(x, scale, -2)
     x = _upsample_axis(x, scale, -1)
+    return x
+
+
+def bicubic_upsample_nhwc(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Same semantics on [B, H, W, C] — upsamples axes 1 and 2 in place.
+
+    TPU-friendly: the channel (lane) axis never moves, so no relayouts;
+    the taps are shifted slices along H (sublanes) and W.
+    """
+    x = _upsample_axis(x, scale, 1)
+    x = _upsample_axis(x, scale, 2)
     return x

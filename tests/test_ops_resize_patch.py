@@ -25,6 +25,23 @@ def test_bicubic_x4_matches_torch(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_bicubic_nhwc_matches_nchw(rng):
+    from speinet_tpu.ops.resize import bicubic_upsample_nhwc
+
+    x = rng.random((2, 7, 9, 5)).astype(np.float32)
+    for scale in (2, 4):
+        got = np.asarray(bicubic_upsample_nhwc(jnp.asarray(x), scale))
+        want = np.asarray(bicubic_upsample(
+            jnp.asarray(x.transpose(0, 3, 1, 2)), scale)).transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # bf16 input: taps still accumulate in f32
+    xb = jnp.asarray(x, jnp.bfloat16)
+    got = np.asarray(bicubic_upsample_nhwc(xb, 2).astype(jnp.float32))
+    want = np.asarray(bicubic_upsample(
+        jnp.asarray(x.transpose(0, 3, 1, 2)), 2)).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 def test_unfold_matches_torch(rng):
     x = rng.random((2, 4, 10, 12)).astype(np.float32)
     for k, s, p in [(3, 1, 1), (6, 2, 2), (12, 4, 4)]:
