@@ -50,6 +50,8 @@ def main():
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--n_videos", type=int, default=4)
+    p.add_argument("--n_frames", type=int, default=150)
     p.add_argument("--out", default="docs/quality_evidence")
     p.add_argument("--work", default="/tmp/quality_evidence")
     args = p.parse_args()
@@ -66,12 +68,12 @@ def main():
     tree = os.path.join(args.work, "rs")
     if not os.path.exists(os.path.join(tree, "blur")):
         print("generating synthetic GoProRS tree...", flush=True)
-        make_sharp_videos(sharp)
+        make_sharp_videos(sharp, n_videos=args.n_videos, n_frames=args.n_frames)
         generate_dataset(sharp, tree, ratios=(0.5,), mixed=False, seed=3)
 
     # dataset length = n_videos * n_frames_per_video * 2; pick
     # n_frames_per_video so one epoch is ~args.steps batches
-    per_video = max(4, args.steps * args.batch // (4 * 2))
+    per_video = max(4, args.steps * args.batch // (args.n_videos * 2))
     exp = os.path.join(args.work, "exp")
     t0 = time.time()
     train_main([

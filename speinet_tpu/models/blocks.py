@@ -35,6 +35,29 @@ from speinet_tpu.ops.s2d import s2d_kernel
 
 Dtype = Any
 
+# torch nn.Conv2d / nn.Linear default init: kaiming_uniform(a=sqrt(5)) ==
+# variance_scaling(1/3, fan_in, uniform) (fan_in = k*k*in_ch for convs).
+# The reference never calls its `weights_init` (block.py:100-106 is dead
+# code), so torch defaults ARE the reference init — and they are what keeps
+# the UNBOUNDED TripletAttention gates (block.py:61-68: relu=False skips
+# both ReLU and sigmoid) stable at initialization: flax's lecun_normal is
+# sqrt(3)x wider, which compounds through ~15 gated ResBlocks into a
+# numerically exploding forward pass at init. Bias init: torch uses
+# U(+-1/sqrt(fan_in)); layers built through `ConvParams` /
+# `ConvTransposeTorch` reproduce it, plain nn.Conv layers keep zero bias
+# (|b| <= 0.06 — irrelevant to dynamics, documented deviation).
+torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
+                                                     "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    bound = float(fan_in) ** -0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
 
 class ConvParams(nn.Module):
     """Parameter holder with nn.Conv's tree layout ({kernel, bias}) so the
@@ -50,11 +73,11 @@ class ConvParams(nn.Module):
     @nn.compact
     def __call__(self):
         k = self.kernel_size
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel", torch_kernel_init,
                             (k, k, self.in_features, self.features),
                             jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,),
-                          jnp.float32) if self.use_bias else None
+        bias = self.param("bias", torch_bias_init(k * k * self.in_features),
+                          (self.features,)) if self.use_bias else None
         return kernel, bias
 
 
@@ -139,6 +162,7 @@ class BasicConv(nn.Module):
                               (self.kernel_size, self.kernel_size),
                               strides=(self.stride, self.stride),
                               padding=self.kernel_size // 2, use_bias=bias,
+                              kernel_init=torch_kernel_init,
                               dtype=self.dtype, name="Conv_0")
         if self.norm:
             self.bn = nn.BatchNorm(use_running_average=True, momentum=0.99,
@@ -177,8 +201,14 @@ class SEBlock(nn.Module):
 
     def setup(self):
         self.fc1 = nn.Dense(self.features // self.reduction, dtype=self.dtype,
+                            kernel_init=torch_kernel_init,
+                            bias_init=torch_bias_init(self.features),
                             name="Dense_0")
-        self.fc2 = nn.Dense(self.features, dtype=self.dtype, name="Dense_1")
+        self.fc2 = nn.Dense(self.features, dtype=self.dtype,
+                            kernel_init=torch_kernel_init,
+                            bias_init=torch_bias_init(
+                                self.features // self.reduction),
+                            name="Dense_1")
 
     def _gate(self, y):  # [B, C] -> [B, C]
         return nn.sigmoid(self.fc2(nn.relu(self.fc1(y))))
@@ -214,6 +244,7 @@ class AttentionGate(nn.Module):
     def __call__(self, pooled, train: bool = False):  # [B, A1, A2, 2]
         z = nn.Conv(1, (self.kernel_size, self.kernel_size),
                     padding=(self.kernel_size - 1) // 2, use_bias=False,
+                    kernel_init=torch_kernel_init,
                     dtype=self.dtype)(pooled)
         z = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-5, dtype=jnp.float32)(z.astype(jnp.float32))

@@ -111,7 +111,10 @@ class ReconsVideo(nn.Module):
         self.dec1_res = _ResStack(f * 2, self.n_resblock, k, d)
         self.dec1_up = ConvTransposeTorch(f, 3, 2, 1, 1, d)
         self.out_res = _ResStack(f, self.n_resblock, k, d)
-        self.out_conv = nn.Conv(self.out_channels, (k, k), padding=k // 2, dtype=d)
+        from speinet_tpu.models.blocks import torch_bias_init, torch_kernel_init
+        self.out_conv = nn.Conv(self.out_channels, (k, k), padding=k // 2,
+                                kernel_init=torch_kernel_init,
+                                bias_init=torch_bias_init(k * k * f), dtype=d)
 
     def in_block(self, x, train=False):
         return self.in_res(self.in_conv(x), train=train)

@@ -152,10 +152,13 @@ class TransferUnit(nn.Module):
         # --- SelfTransfer texture path (SearchTransfer.py:72-76)
         t3_self = f_fusion
         up2 = bicubic_upsample_nhwc(f_fusion, 2)   # NHWC in place, f32 taps
+        from speinet_tpu.models.blocks import torch_kernel_init
         t2_self = nn.relu(nn.Conv(self.n_feat * 2, (1, 1), dtype=self.dtype,
+                                  kernel_init=torch_kernel_init,
                                   name="self_search1")(up2.astype(self.dtype)))
         up4 = bicubic_upsample_nhwc(t2_self, 2)
         t1_self = nn.relu(nn.Conv(self.n_feat, (1, 1), dtype=self.dtype,
+                                  kernel_init=torch_kernel_init,
                                   name="self_search2")(up4.astype(self.dtype)))
 
         sel4 = has_sharp[:, None, None, None]

@@ -85,18 +85,22 @@ class SPEINet(nn.Module):
         self.recons_net = ReconsVideo(n_feat=f, n_resblock=self.n_resblock,
                                       out_channels=self.out_channels, dtype=d)
         self.transfer = TransferUnit(n_feat=f, chunk=self.corr_chunk, dtype=d)
-        # fusion / refinement convs (speinet.py:55-66)
-        self.conv_lv1 = nn.Conv(f, (1, 1), dtype=d)
-        self.conv_lv2 = nn.Conv(f * 2, (1, 1), dtype=d)
-        self.conv_lv3 = nn.Conv(f * 4, (1, 1), dtype=d)
-        self.fusion = nn.Conv(f * 4, (1, 1), dtype=d)
-        self.search3 = nn.Conv(f * 2, (3, 3), padding=1, dtype=d)
-        self.search2 = nn.Conv(f * 2, (1, 1), dtype=d)
-        self.search1 = nn.Conv(f * 2, (1, 1), dtype=d)
-        self.search43 = nn.Conv(f, (3, 3), padding=1, dtype=d)
-        self.search33 = nn.Conv(f, (3, 3), padding=1, dtype=d)
-        self.search23 = nn.Conv(f, (1, 1), dtype=d)   # defined, unused (parity)
-        self.search13 = nn.Conv(f, (1, 1), dtype=d)
+        # fusion / refinement convs (speinet.py:55-66); torch-default
+        # kernel init (see blocks.torch_kernel_init)
+        from speinet_tpu.models.blocks import torch_kernel_init as tki
+        conv = lambda feats, k: nn.Conv(feats, (k, k), padding=k // 2,
+                                        kernel_init=tki, dtype=d)
+        self.conv_lv1 = conv(f, 1)
+        self.conv_lv2 = conv(f * 2, 1)
+        self.conv_lv3 = conv(f * 4, 1)
+        self.fusion = conv(f * 4, 1)
+        self.search3 = conv(f * 2, 3)
+        self.search2 = conv(f * 2, 1)
+        self.search1 = conv(f * 2, 1)
+        self.search43 = conv(f, 3)
+        self.search33 = conv(f, 3)
+        self.search23 = conv(f, 1)   # defined, unused (parity)
+        self.search13 = conv(f, 1)
 
     def _fuse(self, f_mid, neighbor_feats, deterministic):
         """Cross-frame Swin fusion (parity: speinet.py:75-90). All neighbor

@@ -30,6 +30,8 @@ import flax.linen as nn
 Dtype = Any
 
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+# torch Conv2d default init for the conv layers (see blocks.torch_kernel_init)
+conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
 @functools.lru_cache(maxsize=None)
@@ -385,7 +387,7 @@ class RSTB(nn.Module):
         hh, ww = x_size
         b, l, c = res.shape
         img = res.reshape(b, hh, ww, c).astype(self.dtype)
-        img = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype, name="conv")(img)
+        img = nn.Conv(self.dim, (3, 3), padding=1, kernel_init=conv_kernel_init, dtype=self.dtype, name="conv")(img)
         return img.reshape(b, l, c) + x
 
 
@@ -413,7 +415,7 @@ class SwinIRCross(nn.Module):
         in_ch = x.shape[-1]
         hh, ww = x.shape[1], x.shape[2]
         b = x.shape[0]
-        conv_first = nn.Conv(self.embed_dim, (3, 3), padding=1, dtype=self.dtype,
+        conv_first = nn.Conv(self.embed_dim, (3, 3), padding=1, kernel_init=conv_kernel_init, dtype=self.dtype,
                              name="conv_first")          # shared for x and y
         x_first = conv_first(x.astype(self.dtype))
         y_first = conv_first(y.astype(self.dtype))
@@ -440,8 +442,8 @@ class SwinIRCross(nn.Module):
         feat = nn.LayerNorm(dtype=jnp.float32, name="norm")(feat).astype(self.dtype)
         feat = feat.reshape(b, hh, ww, self.embed_dim)
 
-        res = nn.Conv(self.embed_dim, (3, 3), padding=1, dtype=self.dtype,
+        res = nn.Conv(self.embed_dim, (3, 3), padding=1, kernel_init=conv_kernel_init, dtype=self.dtype,
                       name="conv_after_body")(feat) + x_first
-        out = nn.Conv(in_ch, (3, 3), padding=1, dtype=self.dtype,
+        out = nn.Conv(in_ch, (3, 3), padding=1, kernel_init=conv_kernel_init, dtype=self.dtype,
                       name="conv_last")(res)
         return x.astype(self.dtype) + out

@@ -158,3 +158,24 @@ def test_swinir_cross_shapes(rng):
     out2 = m.apply(variables, x2, y2)
     assert out2.shape == x2.shape
     assert np.all(np.isfinite(np.asarray(out2)))
+
+
+def test_full_template_init_is_bounded(rng):
+    """Regression: at initialization the FULL-template forward must stay
+    numerically bounded. The reference's TripletAttention gates are
+    unbounded (block.py:61-68: relu=False skips sigmoid too), so init
+    scale is load-bearing: with flax's default lecun_normal (sqrt(3)x
+    torch's kaiming_uniform(a=sqrt(5)) std) the gates compound through
+    ~15 gated ResBlocks into absmax ~1e10 outputs and training diverges
+    from step one. torch-default init (blocks.torch_kernel_init) keeps
+    the forward ~O(0.1) at init, like the reference."""
+    from speinet_tpu.config import Config, set_template
+    from speinet_tpu.models.speinet import SPEINet
+
+    cfg = set_template(Config(template="SPEINet"))
+    model = SPEINet.from_config(cfg)
+    x = jnp.asarray(rng.random((1, 5, 3, 80, 80)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(model.apply(variables, x, train=False))
+    assert np.all(np.isfinite(out))
+    assert np.abs(out).max() < 10.0, f"init forward exploded: {np.abs(out).max()}"
