@@ -54,12 +54,18 @@ def main():
         inp = inp.at[:, 1].add(prev * 1e-4)
         return model.apply(variables, inp, train=False)
 
+    cache_dir = jax.config.jax_compilation_cache_dir
+    n_cache_before = len(os.listdir(cache_dir)) if cache_dir and os.path.isdir(cache_dir) else 0
+
     fwd = jax.jit(step)
     prev0 = jnp.zeros((batch, 3, h, w), jnp.float32)
     t0 = time.time()
     out = fwd(x, prev0)
     _ = float(out.sum())     # host readback = the only true sync point
     compile_time = time.time() - t0
+    n_cache_after = len(os.listdir(cache_dir)) if cache_dir and os.path.isdir(cache_dir) else 0
+    # new persistent-cache entries written => this was a cold compile
+    cache_state = "cold" if n_cache_after > n_cache_before else "warm"
 
     n_iter = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.time()
@@ -78,6 +84,7 @@ def main():
         "detail": {"sec_per_frame": round(dt / batch, 4),
                    "batch": batch,
                    "compile_sec": round(compile_time, 1),
+                   "compile_cache": cache_state,
                    "dtype": dtype,
                    "timing": "chained+readback"},
     }))
