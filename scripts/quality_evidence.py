@@ -52,6 +52,7 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--n_videos", type=int, default=4)
     p.add_argument("--n_frames", type=int, default=150)
+    p.add_argument("--eval_frames", type=int, default=20)
     p.add_argument("--out", default="docs/quality_evidence")
     p.add_argument("--work", default="/tmp/quality_evidence")
     args = p.parse_args()
@@ -71,13 +72,32 @@ def main():
         make_sharp_videos(sharp, n_videos=args.n_videos, n_frames=args.n_frames)
         generate_dataset(sharp, tree, ratios=(0.5,), mixed=False, seed=3)
 
+    # slim eval tree: first --eval_frames frames of the first video, so the
+    # per-epoch eval doesn't dominate the training wall clock
+    eval_tree = os.path.join(args.work, "rs_eval")
+    if args.eval_frames and not os.path.exists(os.path.join(eval_tree, "blur")):
+        import shutil
+        v0 = sorted(os.listdir(os.path.join(tree, "blur")))[0]
+        for sub in ("blur", "gt"):
+            dst = os.path.join(eval_tree, sub, v0)
+            os.makedirs(dst, exist_ok=True)
+            for f in sorted(os.listdir(os.path.join(tree, sub, v0)))[:args.eval_frames]:
+                shutil.copy(os.path.join(tree, sub, v0, f), os.path.join(dst, f))
+        os.makedirs(os.path.join(eval_tree, "label"), exist_ok=True)
+        lab = np.load(os.path.join(tree, "label", v0 + ".npy"))
+        np.save(os.path.join(eval_tree, "label", v0 + ".npy"),
+                lab[:args.eval_frames])
+    else:
+        eval_tree = tree
+
     # dataset length = n_videos * n_frames_per_video * 2; pick
     # n_frames_per_video so one epoch is ~args.steps batches
     per_video = max(4, args.steps * args.batch // (args.n_videos * 2))
     exp = os.path.join(args.work, "exp")
     t0 = time.time()
     train_main([
-        "--template", "SPEINet", "--dir_data", tree, "--dir_data_test", tree,
+        "--template", "SPEINet", "--dir_data", tree,
+        "--dir_data_test", eval_tree,
         "--experiment_dir", exp + "/", "--save", "run",
         "--epochs", str(args.epochs),
         "--batch_size", str(args.batch), "--patch_size", "200",
@@ -89,7 +109,7 @@ def main():
 
     # evaluate: model output PSNR vs blurry-input PSNR over the tree
     cfg = set_template(Config(template="SPEINet"))
-    inf = Inference(cfg, tree,
+    inf = Inference(cfg, eval_tree,
                     model_path=os.path.join(exp, "run", "model", "model_best"),
                     result_path=os.path.join(args.work, "results"),
                     save_image=False)
@@ -99,9 +119,9 @@ def main():
     import imageio.v2 as imageio
     from speinet_tpu.ops.metrics import psnr_uint8_host
     base = []
-    for v in sorted(os.listdir(os.path.join(tree, "blur"))):
-        bf = sorted(glob.glob(os.path.join(tree, "blur", v, "*.png")))
-        gf = sorted(glob.glob(os.path.join(tree, "gt", v, "*.png")))
+    for v in sorted(os.listdir(os.path.join(eval_tree, "blur"))):
+        bf = sorted(glob.glob(os.path.join(eval_tree, "blur", v, "*.png")))
+        gf = sorted(glob.glob(os.path.join(eval_tree, "gt", v, "*.png")))
         for b, g in zip(bf, gf):
             bi = imageio.imread(b).astype(np.float64)
             gi = imageio.imread(g).astype(np.float64)
