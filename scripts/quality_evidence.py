@@ -50,6 +50,10 @@ def main():
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume the existing /tmp run instead of restarting")
+    p.add_argument("--bn_recalib", type=int, default=8)
     p.add_argument("--n_videos", type=int, default=4)
     p.add_argument("--n_frames", type=int, default=150)
     p.add_argument("--eval_frames", type=int, default=20)
@@ -74,20 +78,25 @@ def main():
 
     # slim eval tree: first --eval_frames frames of the first video, so the
     # per-epoch eval doesn't dominate the training wall clock
-    eval_tree = os.path.join(args.work, "rs_eval")
+    # Frames are cropped to multiples of 20 (= window_size * 4): every
+    # reference eval set (GoPro 1280x720, BSD 640x480) satisfies this, and
+    # the swin window grid divides exactly as in training.
+    eval_tree = os.path.join(args.work, "rs_eval20")
     if args.eval_frames and not os.path.exists(os.path.join(eval_tree, "blur")):
-        import shutil
+        import imageio.v2 as imageio
         v0 = sorted(os.listdir(os.path.join(tree, "blur")))[0]
         for sub in ("blur", "gt"):
             dst = os.path.join(eval_tree, sub, v0)
             os.makedirs(dst, exist_ok=True)
             for f in sorted(os.listdir(os.path.join(tree, sub, v0)))[:args.eval_frames]:
-                shutil.copy(os.path.join(tree, sub, v0, f), os.path.join(dst, f))
+                img = imageio.imread(os.path.join(tree, sub, v0, f))
+                h, w = img.shape[0] - img.shape[0] % 20, img.shape[1] - img.shape[1] % 20
+                imageio.imwrite(os.path.join(dst, f), img[:h, :w])
         os.makedirs(os.path.join(eval_tree, "label"), exist_ok=True)
         lab = np.load(os.path.join(tree, "label", v0 + ".npy"))
         np.save(os.path.join(eval_tree, "label", v0 + ".npy"),
                 lab[:args.eval_frames])
-    else:
+    elif not args.eval_frames:
         eval_tree = tree
 
     # dataset length = n_videos * n_frames_per_video * 2; pick
@@ -95,7 +104,7 @@ def main():
     per_video = max(4, args.steps * args.batch // (args.n_videos * 2))
     exp = os.path.join(args.work, "exp")
     t0 = time.time()
-    train_main([
+    train_args = [
         "--template", "SPEINet", "--dir_data", tree,
         "--dir_data_test", eval_tree,
         "--experiment_dir", exp + "/", "--save", "run",
@@ -103,7 +112,13 @@ def main():
         "--batch_size", str(args.batch), "--patch_size", "200",
         "--n_frames_per_video", str(per_video), "--print_every", "20",
         "--save_images", "false",
-    ])
+        "--bn_recalib", str(args.bn_recalib),
+    ]
+    if args.resume:
+        train_args += ["--load", "run", "--resume", "true"]
+    if args.lr is not None:
+        train_args += ["--lr", repr(args.lr)]
+    train_main(train_args)
     train_sec = time.time() - t0
     print(f"train wall: {train_sec:.0f}s", flush=True)
 
@@ -115,26 +130,55 @@ def main():
                     save_image=False)
     psnr, ssim = inf.infer()
 
-    # blurry-input baseline PSNR (center frame vs gt, same shave)
+    # blurry-input baseline PSNR (center frame vs gt, same shave). Frames
+    # the generator labeled SHARP can be bit-identical to gt (blur window of
+    # length 1) => infinite PSNR, so the meaningful comparison is over the
+    # BLURRY-labeled frames; the all-frames mean is reported finite-only.
     import imageio.v2 as imageio
+    import re
     from speinet_tpu.ops.metrics import psnr_uint8_host
-    base = []
+    base, base_blurry = [], []
+    frame_labels = {}
     for v in sorted(os.listdir(os.path.join(eval_tree, "blur"))):
+        lab = np.load(os.path.join(eval_tree, "label", v + ".npy"))
         bf = sorted(glob.glob(os.path.join(eval_tree, "blur", v, "*.png")))
         gf = sorted(glob.glob(os.path.join(eval_tree, "gt", v, "*.png")))
-        for b, g in zip(bf, gf):
+        for i, (b, g) in enumerate(zip(bf, gf)):
             bi = imageio.imread(b).astype(np.float64)
             gi = imageio.imread(g).astype(np.float64)
-            base.append(psnr_uint8_host(gi, bi, crop_border=4))
-    blurry_psnr = float(np.mean(base))
+            p = psnr_uint8_host(gi, bi, crop_border=4)
+            base.append(p)
+            name = v + "-" + os.path.splitext(os.path.basename(b))[0]
+            frame_labels[name] = int(lab[i])
+            if lab[i] == 0:
+                base_blurry.append(p)
+    blurry_psnr = float(np.mean([x for x in base if np.isfinite(x)]))
+    blurry_only_psnr = float(np.mean(base_blurry))
+
+    # per-frame model PSNR from the inference log, joined with labels
+    logs = sorted(glob.glob(os.path.join(args.work, "results",
+                                         "inference_log_*.txt")),
+                  key=os.path.getmtime)
+    model_blurry = []
+    if logs:
+        for line in open(logs[-1]):
+            m = re.match(r"> (\S+) PSNR=([\d.]+)", line)
+            if m and frame_labels.get(m.group(1)) == 0:
+                model_blurry.append(float(m.group(2)))
+    model_blurry_psnr = float(np.mean(model_blurry)) if model_blurry else None
 
     summary = {
         "steps": args.steps, "batch": args.batch,
         "train_wall_sec": round(train_sec, 1),
-        "blurry_input_psnr": round(blurry_psnr, 3),
+        "blurry_input_psnr_all_finite": round(blurry_psnr, 3),
+        "blurry_input_psnr_blurry_frames": round(blurry_only_psnr, 3),
         "model_output_psnr": round(float(psnr), 3),
         "model_output_ssim": round(float(ssim), 4),
-        "gain_db": round(float(psnr) - blurry_psnr, 3),
+        "model_output_psnr_blurry_frames":
+            round(model_blurry_psnr, 3) if model_blurry_psnr else None,
+        "gain_db_blurry_frames":
+            round(model_blurry_psnr - blurry_only_psnr, 3)
+            if model_blurry_psnr else None,
     }
     print(json.dumps(summary, indent=2))
     with open(os.path.join(args.out, "summary.json"), "w") as f:

@@ -74,6 +74,10 @@ class Config:
     epsilon: float = 1e-8
     weight_decay: float = 0.0
     mid_loss_weight: float = 1.0
+    bn_recalib: int = 0            # >0: recompute BN stats over N train batches
+                                   # before each eval/checkpoint (SWA-style;
+                                   # fixes the EMA lag of the unbounded
+                                   # TripletAttention gates early in training)
 
     # -- logging / checkpointing --------------------------------------------
     experiment_dir: str = "./experiment/"

@@ -102,6 +102,50 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
     )
 
 
+def make_bn_stats_step(model, momentum: float = 0.99) -> Callable:
+    """One jitted recalibration pass: the PER-BATCH BatchNorm statistics of
+    `inp` under the current params. A mutable train-mode apply performs the
+    EMA update new = m*old + (1-m)*batch, so batch = (new - m*old)/(1-m)."""
+
+    def stats_fn(params, batch_stats, inp, rng):
+        _, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, inp, train=True,
+            mutable=["batch_stats"], rngs={"droppath": rng})
+        return jax.tree.map(
+            lambda n, o: (n - momentum * o) / (1.0 - momentum),
+            mutated["batch_stats"], batch_stats)
+
+    return jax.jit(stats_fn)
+
+
+def recalibrate_batch_stats(model, params, batch_stats, inputs, rng,
+                            momentum: float = 0.99, stats_step=None):
+    """SWA-style BatchNorm recalibration: replace the EMA running statistics
+    with the plain average of per-batch statistics over `inputs` (a list of
+    input batches) under the CURRENT params.
+
+    Why: the reference's TripletAttention gates are unbounded and its BN
+    momentum is 0.01 (block.py:56), an EMA with a ~100-step time constant.
+    Early in training the activation distribution drifts faster than the
+    EMA tracks, and the stale statistics compound multiplicatively through
+    ~18 gated ResBlocks — eval-mode output diverges from train-mode output
+    by several dB until the stats catch up. Averaging per-batch mean AND
+    per-batch var (torch's momentum=None cumulative-average convention)
+    under the final weights removes the lag without touching parameters.
+    """
+    if not batch_stats:
+        return batch_stats
+    step = stats_step if stats_step is not None else make_bn_stats_step(
+        model, momentum)
+    acc = None
+    for inp in inputs:
+        rng, k = jax.random.split(rng)
+        bs = step(params, batch_stats, inp, k)
+        acc = bs if acc is None else jax.tree.map(jnp.add, acc, bs)
+    n = max(1, len(inputs))
+    return jax.tree.map(lambda a: a / n, acc)
+
+
 def make_eval_step(model, mesh: Optional[Mesh] = None) -> Callable:
     def eval_fn(params, batch_stats, inp):
         variables = {"params": params}

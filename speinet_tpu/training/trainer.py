@@ -111,6 +111,21 @@ class Trainer:
     # ------------------------------------------------------------------
     def test(self):
         self.ckp.write_log("\nEvaluation:")
+        if self.cfg.bn_recalib > 0 and self.state.batch_stats:
+            from speinet_tpu.training.train_state import recalibrate_batch_stats
+            batches = []
+            for sample in self.data.loader_train:
+                batches.append(jnp.asarray(sample[0]))
+                if len(batches) >= self.cfg.bn_recalib:
+                    break
+            self.rng, k = jax.random.split(self.rng)
+            if not hasattr(self, "_bn_stats_step"):
+                from speinet_tpu.training.train_state import make_bn_stats_step
+                self._bn_stats_step = make_bn_stats_step(self.model)
+            new_bs = recalibrate_batch_stats(self.model, self.state.params,
+                                             self.state.batch_stats, batches, k,
+                                             stats_step=self._bn_stats_step)
+            self.state = self.state.replace(batch_stats=new_bs)
         self.ckp.start_log(train=False)
         n = 0
         params = jax.device_get(self.state.params)

@@ -127,3 +127,43 @@ def test_chop_roundtrip(rng):
     y = tiles[:, 1]
     merged = np.asarray(chop_merge(y, 48, 64))
     np.testing.assert_allclose(merged, x[:, 1], rtol=1e-6)
+
+
+def test_bn_recalibration_matches_batch_stats(rng):
+    """After SWA-style recalibration on a fixed batch, eval-mode forward
+    (running stats) must equal train-mode forward (batch stats) on that
+    batch — the property that fixes the early-training EMA lag of the
+    unbounded TripletAttention gates (train_state.recalibrate_batch_stats)."""
+    from speinet_tpu.models.blocks import ResBlock
+    from speinet_tpu.training.train_state import recalibrate_batch_stats
+
+    model = ResBlock(features=8, kernel_size=3)
+    x = jnp.asarray(rng.standard_normal((2, 12, 10, 8)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    # advance the EMA a few steps on a DIFFERENT distribution so the
+    # running stats are stale relative to x
+    other = jnp.asarray(3.0 + 2.0 * rng.standard_normal((2, 12, 10, 8)),
+                        jnp.float32)
+    for _ in range(3):
+        _, mut = model.apply({"params": params, "batch_stats": bstats},
+                             other, train=True, mutable=["batch_stats"])
+        bstats = mut["batch_stats"]
+
+    out_stale = model.apply({"params": params, "batch_stats": bstats}, x,
+                            train=False)
+    out_train, _ = model.apply({"params": params, "batch_stats": bstats}, x,
+                               train=True, mutable=["batch_stats"])
+
+    new_bs = recalibrate_batch_stats(model, params, bstats, [x],
+                                     jax.random.PRNGKey(1))
+    out_recal = model.apply({"params": params, "batch_stats": new_bs}, x,
+                            train=False)
+
+    # recalibrated eval == train-mode forward (batch stats of x itself)
+    np.testing.assert_allclose(np.asarray(out_recal), np.asarray(out_train),
+                               rtol=1e-4, atol=1e-4)
+    # and the stale stats were genuinely different (the test is non-vacuous)
+    assert float(np.abs(np.asarray(out_stale) -
+                        np.asarray(out_train)).max()) > 1e-3
