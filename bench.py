@@ -22,6 +22,87 @@ import numpy as np
 BASELINE_FPS = 1.0 / 1.21  # results/GoProRs/SPEINet/speinet_0.5 forward_time
 
 
+def _run_video_mode(model, variables, cfg, frames, batch, dtype, h, w):
+    """Steady-state sliding-window video throughput through the cached
+    engine (infer.py --cache_pyramids): per chunk of `batch` consecutive
+    windows, the device work is 3 encoder legs per NEW frame (enc, enc(RL1),
+    enc(RL5)), sharp-anchor pyramids at the GoProRS-0.5 cadence (~one new
+    anchor per 2 frames, results/GoProRs/SPEINet/speinet_0.5), and one
+    batched fusion+transfer+decode restore — the same per-frame device
+    sequence the engine issues, identical numerics to the direct forward
+    (tests/test_infer_equivalence.py::test_cached_pyramid_engine_matches_direct).
+    The reference's 1.21 s/frame baseline measures this same workload
+    (per-window forward_time in a stride-1 video loop)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from speinet_tpu.models.speinet import SPEINet
+
+    n_anchor = max(1, round(batch * float(os.environ.get("BENCH_SHARP_RATIO",
+                                                         "0.5"))))
+
+    def legs(fr):
+        return model.apply(variables, fr, method=SPEINet.encode_window_legs)
+
+    def anchor(fr):
+        return model.apply(variables, fr, method=SPEINet.anchor_pyramid)
+
+    def restore(m, n0, n1, p1, p2, p3, hs):
+        return model.apply(variables, m, (n0, n1), p1, p2, p3, hs,
+                           method=SPEINet.restore_from_features)
+
+    jl, ja, jr = jax.jit(legs), jax.jit(anchor), jax.jit(restore)
+
+    base = np.stack([frames[i % len(frames)] for i in range(batch)])
+    base = jnp.asarray(np.broadcast_to(base[:, None], (batch, 3, h, w)).copy())
+    anchor_in = base[:n_anchor]
+    hs = jnp.ones((batch,), bool)
+
+    def chunk(prev):
+        # chain: fold the previous output into the new frames so the lazy
+        # relay cannot elide or reorder any call
+        fr = base + prev * 1e-4
+        m, n = jl(fr)
+        p1, p2, p3 = ja(anchor_in + prev[:n_anchor] * 1e-4)
+        rep = lambda a: jnp.concatenate([a] * ((batch + n_anchor - 1) // n_anchor))[:batch]
+        out = jr(m, n, jnp.roll(n, 1, axis=0), rep(p1), rep(p2), rep(p3), hs)
+        return out
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    n_before = len(os.listdir(cache_dir)) if cache_dir and os.path.isdir(cache_dir) else 0
+    t0 = time.time()
+    out = chunk(jnp.zeros((batch, 3, h, w), jnp.float32))
+    _ = float(out.sum())
+    compile_time = time.time() - t0
+    n_after = len(os.listdir(cache_dir)) if cache_dir and os.path.isdir(cache_dir) else 0
+    cache_state = "cold" if n_after > n_before else "warm"
+
+    n_iter = int(os.environ.get("BENCH_ITERS", "5"))
+    t0 = time.time()
+    prev = out
+    for _ in range(n_iter):
+        prev = chunk(prev)
+    _ = float(prev.sum())
+    dt = (time.time() - t0) / n_iter
+
+    fps = batch / dt
+    print(json.dumps({
+        "metric": "720p_frames_per_sec",
+        "value": round(fps, 4),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "detail": {"sec_per_frame": round(dt / batch, 4),
+                   "batch": batch,
+                   "compile_sec": round(compile_time, 1),
+                   "compile_cache": cache_state,
+                   "dtype": dtype,
+                   "mode": "video(cached-pyramids, sharp_ratio=0.5)",
+                   "timing": "chained+readback"},
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -33,6 +114,7 @@ def main():
     from speinet_tpu.models.speinet import SPEINet
 
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    mode = os.environ.get("BENCH_MODE", "video")
     cfg = set_template(Config(template="SPEINet")).replace(compute_dtype=dtype)
     model = SPEINet.from_config(cfg)
 
@@ -46,6 +128,10 @@ def main():
     base = (0.5 + 0.3 * np.sin(xx / 11.0) * np.cos(yy / 13.0)).astype(np.float32)
     frames = np.stack([np.clip(base + 0.02 * rng.standard_normal((h, w)) + 0.01 * t, 0.02, 1.0)
                        for t in range(5)])
+    if mode == "video":
+        _run_video_mode(model, variables, cfg, frames, batch, dtype, h, w)
+        return
+
     x = jnp.asarray(np.broadcast_to(frames[None, :, None], (batch, 5, 3, h, w)).copy())
 
     def step(inp, prev):

@@ -75,7 +75,8 @@ class Inference:
     def __init__(self, cfg: Config, data_path: str, model_path: str,
                  result_path: str, save_image: bool = True, border: bool = True,
                  detector_pickle: Optional[str] = None,
-                 self_ensemble: bool = False, batch_windows: int = 1):
+                 self_ensemble: bool = False, batch_windows: int = 1,
+                 cache_pyramids: bool = False):
         self.cfg = cfg
         self.n_seq = cfg.n_sequence
         self.size_must_mode = cfg.size_must_mode
@@ -86,6 +87,7 @@ class Inference:
         self.detector_pickle = detector_pickle
         self.self_ensemble = self_ensemble
         self.batch_windows = batch_windows
+        self.cache_pyramids = cache_pyramids
         os.makedirs(result_path, exist_ok=True)
         self.input_path = os.path.join(data_path, "blur")
         self.gt_path = os.path.join(data_path, "gt")
@@ -111,6 +113,16 @@ class Inference:
         self._fwd = lambda x: self._fwd_jit(self.params, self.batch_stats, x)
         self._fwd_chop = lambda x: self._fwd_chop_jit(self.params,
                                                       self.batch_stats, x)
+        if self.cache_pyramids:
+            mv = self._make_variables
+            self._jit_legs = jax.jit(lambda p, b, f: self.model.apply(
+                mv(p, b), f, method=SPEINet.encode_window_legs))
+            self._jit_anchor = jax.jit(lambda p, b, f: self.model.apply(
+                mv(p, b), f, method=SPEINet.anchor_pyramid))
+            self._jit_restore = jax.jit(
+                lambda p, b, m, n0, n1, p1, p2, p3, hs: self.model.apply(
+                    mv(p, b), m, (n0, n1), p1, p2, p3, hs,
+                    method=SPEINet.restore_from_features))
 
     def _load_weights(self, model_path: str):
         if model_path and os.path.exists(model_path):
@@ -173,6 +185,137 @@ class Inference:
         x *= self.cfg.rgb_range / 255.0
         return filename, x, gt
 
+    def _infer_video_cached(self, v, input_frames, gt_frames, labels, pool):
+        """Sliding-window inference with cross-window feature caching
+        (beyond-reference): the reference re-encodes all window frames per
+        window — 7 encoder legs (inference_SPEINet.py:393, speinet.py:125-132)
+        — but at stride 1 each frame serves ~3 windows and sharp anchors
+        repeat across many, so the per-frame legs (enc, enc(RL1), enc(RL5))
+        and anchor pyramids are computed once and reused. Numerically
+        identical to the direct path (tests/test_infer_equivalence.py)."""
+        n_seq = self.n_seq
+        bw = max(1, self.batch_windows)
+        pre_lists, sub_lists = gene_seq_nsf(labels, n_seq=n_seq,
+                                            border=self.border)
+        input_seqs, padded_inputs = gene_seq(input_frames, n_seq=n_seq,
+                                             border=self.border)
+        gt_seqs, _ = gene_seq(gt_frames, n_seq=n_seq, border=self.border)
+        n_win = len(input_seqs)
+        num = lambda p: int(os.path.splitext(os.path.basename(p))[0].
+                            split(".")[-1])
+        probe = imageio.imread(padded_inputs[n_seq // 2])
+        nh = probe.shape[0] - probe.shape[0] % self.size_must_mode
+        nw = probe.shape[1] - probe.shape[1] % self.size_must_mode
+
+        def load_frame(path):
+            im = imageio.imread(path)[:nh, :nw]
+            return im.transpose(2, 0, 1).astype(np.float32) * (
+                self.cfg.rgb_range / 255.0)
+
+        last_pos = {}
+        for i, p in enumerate(padded_inputs):
+            last_pos[p] = i
+        # per-window metadata: (center, (nb0, nb1), has_sharp, anchor_key)
+        metas = []
+        for w in range(n_win):
+            c_path = padded_inputs[w + n_seq // 2]
+            nb_paths = tuple(padded_inputs[w + i] for i in range(n_seq)
+                             if i != n_seq // 2)
+            nc = num(c_path)
+            hs = abs(nc - num(padded_inputs[pre_lists[w][0]])) <= 7
+            sub_path = padded_inputs[sub_lists[w][n_seq - 1]]
+            akey = sub_path if abs(nc - num(sub_path)) <= 7 else "<ZERO>"
+            metas.append((c_path, nb_paths, hs, akey))
+
+        decoded, feat, anchors = {}, {}, {}
+
+        def ensure_feats(paths):
+            need = [p for p in dict.fromkeys(paths) if p not in feat]
+            while need:
+                chunk = need[:bw]
+                batch = chunk + [chunk[-1]] * (bw - len(chunk))
+                arr = np.stack([decoded[p].result() for p in batch])
+                m, n = self._jit_legs(self.params, self.batch_stats,
+                                      jnp.asarray(arr))
+                for k, p in enumerate(chunk):
+                    feat[p] = (m[k : k + 1], n[k : k + 1])
+                need = need[bw:]
+
+        def ensure_anchor(key):
+            if key in anchors:
+                return
+            if key == "<ZERO>":
+                arr = np.zeros((1, 3, nh, nw), np.float32)
+            else:
+                arr = decoded[key].result()[None]
+            anchors[key] = self._jit_anchor(self.params, self.batch_stats,
+                                            jnp.asarray(arr))
+
+        video_psnr, video_ssim = [], []
+        for s in range(0, n_win, bw):
+            start = time.time()
+            wins = list(range(s, min(s + bw, n_win)))
+            # prefetch decodes for this chunk and the next
+            for w in range(s, min(s + 2 * bw, n_win)):
+                for p in (metas[w][0],) + metas[w][1] + (metas[w][3],):
+                    if p != "<ZERO>" and p not in decoded and p not in feat:
+                        decoded[p] = pool.submit(load_frame, p)
+            gts = [pool.submit(lambda pth: imageio.imread(pth)[:nh, :nw],
+                               gt_seqs[w][n_seq // 2]) for w in wins]
+            chunk_paths = [p for w in wins
+                           for p in (metas[w][0],) + metas[w][1]]
+            for p in dict.fromkeys(chunk_paths):
+                if p not in feat:
+                    decoded[p].result()
+            t_pre = time.time()
+            ensure_feats(chunk_paths)
+            for w in wins:
+                ensure_anchor(metas[w][3])
+            idxs = wins + [wins[-1]] * (bw - len(wins))
+            m_b = jnp.concatenate([feat[metas[i][0]][0] for i in idxs])
+            n0_b = jnp.concatenate([feat[metas[i][1][0]][1] for i in idxs])
+            n1_b = jnp.concatenate([feat[metas[i][1][1]][1] for i in idxs])
+            p1_b = jnp.concatenate([anchors[metas[i][3]][0] for i in idxs])
+            p2_b = jnp.concatenate([anchors[metas[i][3]][1] for i in idxs])
+            p3_b = jnp.concatenate([anchors[metas[i][3]][2] for i in idxs])
+            hs_b = jnp.asarray(np.array([metas[i][2] for i in idxs], bool))
+            out = self._jit_restore(self.params, self.batch_stats, m_b, n0_b,
+                                    n1_b, p1_b, p2_b, p3_b, hs_b)
+            out.block_until_ready()
+            t_fwd = time.time()
+            imgs = np.asarray(jnp.transpose(jnp.clip(jnp.round(
+                out * (255.0 / self.cfg.rgb_range)), 0, 255), (0, 2, 3, 1))
+            ).astype(np.uint8)
+            for k, w in enumerate(wins):
+                filename = os.path.basename(metas[w][0]).split(".")[0]
+                img, gt = imgs[k], gts[k].result()
+                psnr = psnr_uint8_host(img, gt, crop_border=4)
+                ssim = float(ssim_matlab(jnp.asarray(gt), jnp.asarray(img)))
+                video_psnr.append(psnr)
+                video_ssim.append(ssim)
+                if self.save_image:
+                    os.makedirs(os.path.join(self.result_path, v),
+                                exist_ok=True)
+                    imageio.imwrite(os.path.join(self.result_path, v,
+                                                 f"{filename}.png"), img)
+                t_post = time.time()
+                nb = len(wins)
+                self.logger.write_log(
+                    f"> {v}-{filename} PSNR={psnr:.5}, SSIM={ssim:.4} "
+                    f"pre_time:{(t_pre - start) / nb:.3}s, "
+                    f"forward_time:{(t_fwd - t_pre) / nb:.3}s, "
+                    f"post_time:{(t_post - t_fwd) / nb:.3}s, "
+                    f"total_time:{(t_post - start) / nb:.3}s")
+            # evict features/decodes no longer needed by remaining windows
+            horizon = s + bw
+            for p in [p for p, i in last_pos.items() if i < horizon]:
+                feat.pop(p, None)
+                decoded.pop(p, None)
+            keep = {metas[w][3] for w in range(horizon, n_win)} | {"<ZERO>"}
+            for p in [p for p in anchors if p not in keep]:
+                anchors.pop(p)
+        return video_psnr, video_ssim
+
     def infer(self):
         """Per-video loop (parity: inference_SPEINet.py:338-429), with
         windows decoded by a thread pool ahead of the device and batched
@@ -187,6 +330,12 @@ class Inference:
             input_frames = sorted(glob.glob(os.path.join(self.input_path, v, "*")))
             gt_frames = sorted(glob.glob(os.path.join(self.gt_path, v, "*")))
             labels = self._labels_for_video(v, input_frames)
+            if self.cache_pyramids:
+                video_psnr, video_ssim = self._infer_video_cached(
+                    v, input_frames, gt_frames, labels, pool)
+                total_psnr[v] = video_psnr
+                total_ssim[v] = video_ssim
+                continue
             pre_lists, sub_lists = gene_seq_nsf(labels, n_seq=self.n_seq,
                                                 border=self.border)
             input_seqs, padded_inputs = gene_seq(input_frames, n_seq=self.n_seq,
@@ -270,6 +419,9 @@ def main(argv=None):
                    help="8-way flip/rot ensemble (forward_x8)")
     p.add_argument("--batch_windows", type=int, default=1,
                    help="sliding windows per forward pass")
+    p.add_argument("--cache_pyramids", action="store_true",
+                   help="reuse per-frame encoder features across sliding "
+                        "windows (identical outputs, ~2x fewer encoder legs)")
     p.add_argument("--profile", type=str, default="",
                    help="write a jax.profiler trace to this directory")
     args = p.parse_args(argv)
@@ -299,7 +451,8 @@ def main(argv=None):
                     save_image=args.save_image, border=args.border,
                     detector_pickle=args.detector_pickle or None,
                     self_ensemble=args.self_ensemble,
-                    batch_windows=args.batch_windows)
+                    batch_windows=args.batch_windows,
+                    cache_pyramids=args.cache_pyramids)
     if args.profile:
         import jax
 

@@ -149,6 +149,51 @@ class SPEINet(nn.Module):
         f_lv1 = f_lv1 + search_113 + search_223 + search_323
         return r.out_block(f_lv1, train=train)
 
+    # ---- cached-video inference API (beyond-reference) -------------------
+    # The reference re-encodes every frame once per sliding window (7
+    # encoder legs/window, inference_SPEINet.py:393); in a stride-1 video
+    # each frame participates in ~3 windows, so per-frame features are
+    # reusable. These methods split __call__ into per-frame encoding and
+    # from-features restoration with identical eval-mode numerics (the
+    # encoder is a per-sample map outside of train-mode BatchNorm).
+
+    def encode_window_legs(self, frames, train: bool = False):
+        """frames: [F, 3, H, W] in [0, rgb_range] -> (M, N) lv3 features:
+        M = enc(f) + enc(RL5(f))   (center leg, speinet.py:128-132)
+        N = enc(f) + enc(RL1(f))   (neighbor leg, speinet.py:75-83)."""
+        nhwc = frames.transpose(0, 2, 3, 1).astype(self.dtype)
+        kernel = box_kernel(5, dtype=jnp.float32)
+        f32 = frames.astype(jnp.float32)
+        rl1 = richardson_lucy(f32, kernel, 1, 0.01, box_size=5)
+        rl5 = richardson_lucy(f32, kernel, 5, 0.01, box_size=5)
+        stack = jnp.concatenate(
+            [nhwc, rl1.transpose(0, 2, 3, 1).astype(self.dtype),
+             rl5.transpose(0, 2, 3, 1).astype(self.dtype)], axis=0)
+        _, _, lv3 = self.recons_net.encode_pyramid(stack, train=train)
+        n = frames.shape[0]
+        e, e1, e5 = lv3[:n], lv3[n : 2 * n], lv3[2 * n :]
+        return e + e5, e + e1
+
+    def anchor_pyramid(self, frames, train: bool = False):
+        """Sharp-anchor pyramid (speinet.py:125-127): [F, 3, H, W] ->
+        (lv1, lv2, lv3) NHWC features."""
+        nhwc = frames.transpose(0, 2, 3, 1).astype(self.dtype)
+        return self.recons_net.encode_pyramid(nhwc, train=train)
+
+    def restore_from_features(self, f_mid, neighbor_feats, sharp_lv1,
+                              sharp_lv2, sharp_lv3, has_sharp,
+                              train: bool = False):
+        """Fusion + transfer + decode from precomputed features; the tail
+        of __call__ after the encoder legs."""
+        deterministic = not train
+        f_fusion = self._fuse(f_mid, list(neighbor_feats), deterministic)
+        f_fusion = self.fusion(f_fusion)
+        weight_s, t_lv3, t_lv2, t_lv1 = self.transfer(
+            f_fusion, sharp_lv1, sharp_lv2, sharp_lv3, has_sharp)
+        out = self._decode(f_fusion, weight_s.astype(self.dtype), t_lv3,
+                           t_lv2, t_lv1, train)
+        return out.transpose(0, 3, 1, 2).astype(jnp.float32)
+
     def __call__(self, x, train: bool = False):
         """x: [B, 5, 3, H, W] -> [B, 3, H, W]."""
         deterministic = not train

@@ -117,3 +117,45 @@ def test_recursive_chop_real_model_big_frame(rng):
     out = np.asarray(chop_forward(fwd, x, shave=8, min_size=400))
     assert out.shape == (1, 3, 64, 96)
     assert np.isfinite(out).all()
+
+
+def test_cached_pyramid_engine_matches_direct(tmp_path, rng):
+    """The cross-window feature-caching engine (infer --cache_pyramids)
+    must reproduce the direct path's per-frame metrics, including windows
+    that hit the >7-distance zero rule (pre: has_sharp=False routing;
+    sub: zero-frame anchor pyramid) and trailing-batch padding."""
+    import os
+    import imageio.v2 as imageio
+    from speinet_tpu.config import Config, set_template
+    from speinet_tpu.infer import Inference
+
+    root = tmp_path / "ds"
+    h, w, n = 48, 64, 14
+    yy, xx = np.mgrid[0:h, 0:w]
+    os.makedirs(root / "label")
+    name = "video00"
+    os.makedirs(root / "blur" / name)
+    os.makedirs(root / "gt" / name)
+    labels = np.zeros(n, np.int64)
+    labels[[0, 13]] = 1        # mid-video windows are >7 from both anchors
+    for i in range(n):
+        img = (127 + 90 * np.sin(xx / 5.0 + i) * np.cos(yy / 4.0)
+               + 8 * rng.standard_normal((h, w)))
+        img = np.stack([img] * 3, -1).clip(0, 255).astype(np.uint8)
+        imageio.imwrite(root / "blur" / name / f"{i:08d}.png", img)
+        imageio.imwrite(root / "gt" / name / f"{i:08d}.png", img)
+    np.save(root / "label" / (name + ".npy"), labels)
+
+    cfg = set_template(Config(template="SPEINet")).replace(
+        n_feat=8, embed_dim=32, depths=[2], num_heads=[4], n_threads=2)
+    inf_d = Inference(cfg, str(root), model_path="",
+                      result_path=str(tmp_path / "res_direct"),
+                      save_image=False)
+    psnr_d, ssim_d = inf_d.infer()
+    # same random-init weights: seed is fixed inside _load_weights
+    inf_c = Inference(cfg, str(root), model_path="",
+                      result_path=str(tmp_path / "res_cached"),
+                      save_image=False, batch_windows=3, cache_pyramids=True)
+    psnr_c, ssim_c = inf_c.infer()
+    assert abs(psnr_d - psnr_c) < 0.05
+    assert abs(ssim_d - ssim_c) < 1e-3

@@ -179,3 +179,31 @@ def test_full_template_init_is_bounded(rng):
     out = np.asarray(model.apply(variables, x, train=False))
     assert np.all(np.isfinite(out))
     assert np.abs(out).max() < 10.0, f"init forward exploded: {np.abs(out).max()}"
+
+
+def test_cached_feature_decomposition_matches_call(tiny_model_and_params, rng):
+    """encode_window_legs + anchor_pyramid + restore_from_features ==
+    __call__ (the cached-video inference engine's contract). Eval mode:
+    the encoder is a per-sample map, so features computed in different
+    batch groupings are identical."""
+    model, variables = tiny_model_and_params
+    x = smooth_video(rng, b=2)
+    x[1, 3] = 0.0   # exercise both routing branches
+    xj = jnp.asarray(x)
+    want = np.asarray(model.apply(variables, xj))
+
+    frames = xj.reshape(-1, 3, 40, 40)                     # [2*5, 3, H, W]
+    m_all, n_all = model.apply(variables, frames,
+                               method=SPEINet.encode_window_legs)
+    p1, p2, p3 = model.apply(variables, frames,
+                             method=SPEINet.anchor_pyramid)
+    m_all = np.asarray(m_all).reshape(2, 5, *m_all.shape[1:])
+    n_all = np.asarray(n_all).reshape(2, 5, *n_all.shape[1:])
+    pick = lambda a, i: jnp.asarray(np.asarray(a).reshape(2, 5, *a.shape[1:])[:, i])
+    has_sharp = ~jnp.all(xj[:, 3] == 0, axis=(1, 2, 3))
+    got = np.asarray(model.apply(
+        variables, jnp.asarray(m_all[:, 1]),
+        (jnp.asarray(n_all[:, 0]), jnp.asarray(n_all[:, 2])),
+        pick(p1, 4), pick(p2, 4), pick(p3, 4), has_sharp,
+        method=SPEINet.restore_from_features))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
