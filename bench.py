@@ -123,7 +123,9 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), x_small)
 
     rng = np.random.default_rng(0)
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    # batch 8 measured faster than 4 (2.816 vs 2.735 fps/chip, video mode,
+    # warm cache, one v5e chip) and its programs are cache-warmed
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     yy, xx = np.mgrid[0:h, 0:w]
     base = (0.5 + 0.3 * np.sin(xx / 11.0) * np.cos(yy / 13.0)).astype(np.float32)
     frames = np.stack([np.clip(base + 0.02 * rng.standard_normal((h, w)) + 0.01 * t, 0.02, 1.0)

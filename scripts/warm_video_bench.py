@@ -28,13 +28,22 @@ def main():
     sds = lambda *s: jax.ShapeDtypeStruct(s, f32)
     cdt = jnp.dtype(dtype)
 
-    jl = jax.jit(lambda fr: model.apply(variables, fr,
-                                        method=SPEINet.encode_window_legs))
-    ja = jax.jit(lambda fr: model.apply(variables, fr,
-                                        method=SPEINet.anchor_pyramid))
-    jr = jax.jit(lambda m, n0, n1, p1, p2, p3, hs: model.apply(
-        variables, m, (n0, n1), p1, p2, p3, hs,
-        method=SPEINet.restore_from_features))
+    # NOTE: the persistent-cache key includes the jitted function's name, so
+    # these must be spelled exactly like bench.py's (a lambda here produces
+    # jit__lambda cache entries that bench's jit_legs/jit_anchor/jit_restore
+    # will NOT hit — measured: bench recompiled cold for 224 s after a full
+    # lambda-named warm pass).
+    def legs(fr):
+        return model.apply(variables, fr, method=SPEINet.encode_window_legs)
+
+    def anchor(fr):
+        return model.apply(variables, fr, method=SPEINet.anchor_pyramid)
+
+    def restore(m, n0, n1, p1, p2, p3, hs):
+        return model.apply(variables, m, (n0, n1), p1, p2, p3, hs,
+                           method=SPEINet.restore_from_features)
+
+    jl, ja, jr = jax.jit(legs), jax.jit(anchor), jax.jit(restore)
 
     f4 = cfg.n_feat * 4
     for b in batches:
