@@ -21,6 +21,19 @@ import numpy as np
 
 BASELINE_FPS = 1.0 / 1.21  # results/GoProRs/SPEINet/speinet_0.5 forward_time
 
+# A warm run still writes a handful of tiny glue-op entries (jit_concatenate,
+# jit_slice, ...) to the persistent cache, so "any new file" mislabels warm
+# runs as cold; only a new LARGE entry means one of the real model programs
+# actually compiled.
+_COLD_ENTRY_BYTES = 1 << 20
+
+
+def _cache_files(cache_dir):
+    if not (cache_dir and os.path.isdir(cache_dir)):
+        return set()
+    return {f for f in os.listdir(cache_dir)
+            if os.path.getsize(os.path.join(cache_dir, f)) >= _COLD_ENTRY_BYTES}
+
 
 def _run_video_mode(model, variables, cfg, frames, batch, dtype, h, w):
     """Steady-state sliding-window video throughput through the cached
@@ -71,13 +84,12 @@ def _run_video_mode(model, variables, cfg, frames, batch, dtype, h, w):
         return out
 
     cache_dir = jax.config.jax_compilation_cache_dir
-    n_before = len(os.listdir(cache_dir)) if cache_dir and os.path.isdir(cache_dir) else 0
+    before = _cache_files(cache_dir)
     t0 = time.time()
     out = chunk(jnp.zeros((batch, 3, h, w), jnp.float32))
     _ = float(out.sum())
     compile_time = time.time() - t0
-    n_after = len(os.listdir(cache_dir)) if cache_dir and os.path.isdir(cache_dir) else 0
-    cache_state = "cold" if n_after > n_before else "warm"
+    cache_state = "cold" if _cache_files(cache_dir) - before else "warm"
 
     n_iter = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.time()
@@ -143,7 +155,7 @@ def main():
         return model.apply(variables, inp, train=False)
 
     cache_dir = jax.config.jax_compilation_cache_dir
-    n_cache_before = len(os.listdir(cache_dir)) if cache_dir and os.path.isdir(cache_dir) else 0
+    before = _cache_files(cache_dir)
 
     fwd = jax.jit(step)
     prev0 = jnp.zeros((batch, 3, h, w), jnp.float32)
@@ -151,9 +163,7 @@ def main():
     out = fwd(x, prev0)
     _ = float(out.sum())     # host readback = the only true sync point
     compile_time = time.time() - t0
-    n_cache_after = len(os.listdir(cache_dir)) if cache_dir and os.path.isdir(cache_dir) else 0
-    # new persistent-cache entries written => this was a cold compile
-    cache_state = "cold" if n_cache_after > n_cache_before else "warm"
+    cache_state = "cold" if _cache_files(cache_dir) - before else "warm"
 
     n_iter = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.time()

@@ -29,10 +29,11 @@ def main():
     cdt = jnp.dtype(dtype)
 
     # NOTE: the persistent-cache key includes the jitted function's name, so
-    # these must be spelled exactly like bench.py's (a lambda here produces
-    # jit__lambda cache entries that bench's jit_legs/jit_anchor/jit_restore
-    # will NOT hit — measured: bench recompiled cold for 224 s after a full
-    # lambda-named warm pass).
+    # these are spelled exactly like bench.py's. Measured caveat: through the
+    # axon relay the cache key for these full-model programs is unstable
+    # across processes anyway (same code+weights writes a new hash each run),
+    # so this warming primarily primes the remote compile server, not the
+    # client-side persistent cache.
     def legs(fr):
         return model.apply(variables, fr, method=SPEINet.encode_window_legs)
 
