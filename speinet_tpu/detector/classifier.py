@@ -18,12 +18,19 @@ Implemented natively (no sklearn dependency in the inference path):
 
 from __future__ import annotations
 
+import os
 import pickle
 from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp
+
+
+def default_detector_path() -> str:
+    """Packaged fallback logistic detector (scripts/train_default_detector.py)."""
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "default_logreg.pkl")
 
 
 @dataclass
@@ -54,7 +61,17 @@ class LogisticRegressionJAX:
                          "scale": None if self.scale is None else np.asarray(self.scale)}, f)
 
     @staticmethod
-    def load(path: str) -> "LogisticRegressionJAX":
+    def load(path: Optional[str]) -> "LogisticRegressionJAX":
+        """Load a pickled detector; with no path, the packaged default
+        (the analog of the reference's shipped LD_detector/pickle/ fallback,
+        inference_SPEINet.py:349-353) — see scripts/train_default_detector.py."""
+        if path is None:
+            path = default_detector_path()
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    "no detector pickle given and the packaged default "
+                    f"({path}) is missing — pass --detector_pickle or "
+                    "regenerate it with scripts/train_default_detector.py")
         with open(path, "rb") as f:
             d = pickle.load(f)
         if isinstance(d, dict):

@@ -32,6 +32,8 @@ from speinet_tpu.detector.train import video_features
 from speinet_tpu.models.speinet import SPEINet
 from speinet_tpu.ops.metrics import psnr_uint8_host, ssim_matlab
 from speinet_tpu.parallel.chop import chop_forward
+from speinet_tpu.parallel.mesh import (batch_sharding, make_mesh_for_batch,
+                                       replicate_sharding)
 
 
 class TraverseLogger:
@@ -86,8 +88,19 @@ class Inference:
         self.result_path = result_path
         self.detector_pickle = detector_pickle
         self.self_ensemble = self_ensemble
-        self.batch_windows = batch_windows
+        self.batch_windows = max(1, batch_windows)
         self.cache_pyramids = cache_pyramids
+        # data-parallel mesh over the window batch — the TPU-native analog
+        # of the reference engine's nn.DataParallel + <=4-GPU forward_chop
+        # (inference_SPEINet.py:234-235,569). dp_devices=0 -> all local
+        # devices (same convention as training).
+        n_target = cfg.dp_devices if cfg.dp_devices > 0 else len(jax.devices())
+        if n_target > 1 and not cfg.chop and self.batch_windows % n_target:
+            # round the window batch up to fill the mesh
+            self.batch_windows = -(-self.batch_windows // n_target) * n_target
+        eff_batch = 4 * self.batch_windows if cfg.chop else self.batch_windows
+        mesh = make_mesh_for_batch(eff_batch, n_target)
+        self.mesh = mesh if mesh.size > 1 else None
         os.makedirs(result_path, exist_ok=True)
         self.input_path = os.path.join(data_path, "blur")
         self.gt_path = os.path.join(data_path, "gt")
@@ -106,9 +119,29 @@ class Inference:
         self.model = SPEINet.from_config(cfg)
         self.params, self.batch_stats = self._load_weights(model_path)
         self.logger.write_log(f"Loading model from {model_path}")
+        if self.mesh is not None:
+            self.logger.write_log(
+                f"dp mesh: {self.mesh.size} devices, "
+                f"batch_windows={self.batch_windows}")
+            self.params = jax.device_put(self.params,
+                                         replicate_sharding(self.mesh))
+            self.batch_stats = jax.device_put(self.batch_stats,
+                                              replicate_sharding(self.mesh))
+            bsh = batch_sharding(self.mesh)
+        else:
+            bsh = None
+
+        def _c(a):
+            """Constrain the leading (batch) axis to the dp mesh; a
+            constraint (not in_shardings) so committed eager intermediates
+            reshard instead of erroring."""
+            return (jax.lax.with_sharding_constraint(a, bsh)
+                    if bsh is not None else a)
+
         # params passed as traced args (not closure constants) so one
         # compiled program serves any weights
-        self._fwd_jit = jax.jit(self._forward)
+        self._fwd_jit = jax.jit(
+            lambda p, b, x: self._forward(p, b, _c(x)))
         self._fwd_chop_jit = jax.jit(self._forward_chop)
         self._fwd = lambda x: self._fwd_jit(self.params, self.batch_stats, x)
         self._fwd_chop = lambda x: self._fwd_chop_jit(self.params,
@@ -116,13 +149,13 @@ class Inference:
         if self.cache_pyramids:
             mv = self._make_variables
             self._jit_legs = jax.jit(lambda p, b, f: self.model.apply(
-                mv(p, b), f, method=SPEINet.encode_window_legs))
+                mv(p, b), _c(f), method=SPEINet.encode_window_legs))
             self._jit_anchor = jax.jit(lambda p, b, f: self.model.apply(
                 mv(p, b), f, method=SPEINet.anchor_pyramid))
             self._jit_restore = jax.jit(
                 lambda p, b, m, n0, n1, p1, p2, p3, hs: self.model.apply(
-                    mv(p, b), m, (n0, n1), p1, p2, p3, hs,
-                    method=SPEINet.restore_from_features))
+                    mv(p, b), _c(m), (_c(n0), _c(n1)), _c(p1), _c(p2),
+                    _c(p3), _c(hs), method=SPEINet.restore_from_features))
 
     def _load_weights(self, model_path: str):
         if model_path and os.path.exists(model_path):
@@ -147,10 +180,14 @@ class Inference:
 
     def _forward_chop(self, params, batch_stats, x):
         # recursive above 6*160000 px so >720p frames still fit
-        # (parity: inference_SPEINet.py:545,565,578-584)
+        # (parity: inference_SPEINet.py:545,565,578-584); under a dp mesh
+        # the 4B tiles are distributed over the devices (the reference
+        # dispatches quadrants over <=4 GPUs, inference_SPEINet.py:569)
         fwd = lambda tiles: self.model.apply(
             self._make_variables(params, batch_stats), tiles, train=False)
-        return chop_forward(fwd, x, shave=self.cfg.chop_shave)
+        ts = batch_sharding(self.mesh) if self.mesh is not None else None
+        return chop_forward(fwd, x, shave=self.cfg.chop_shave,
+                            tile_sharding=ts)
 
     # ------------------------------------------------------------------
     def _labels_for_video(self, v: str, input_frames: List[str]) -> np.ndarray:
@@ -221,10 +258,13 @@ class Inference:
             c_path = padded_inputs[w + n_seq // 2]
             nb_paths = tuple(padded_inputs[w + i] for i in range(n_seq)
                              if i != n_seq // 2)
-            nc = num(c_path)
-            hs = abs(nc - num(padded_inputs[pre_lists[w][0]])) <= 7
+            # the >7-distance zero rule is measured from the LAST window
+            # frame (reference inference_SPEINet.py:385-388 nums[2]; same
+            # as _prepare_window), NOT from the window center
+            ref_n = num(padded_inputs[w + n_seq - 1])
+            hs = abs(ref_n - num(padded_inputs[pre_lists[w][0]])) <= 7
             sub_path = padded_inputs[sub_lists[w][n_seq - 1]]
-            akey = sub_path if abs(nc - num(sub_path)) <= 7 else "<ZERO>"
+            akey = sub_path if abs(ref_n - num(sub_path)) <= 7 else "<ZERO>"
             metas.append((c_path, nb_paths, hs, akey))
 
         decoded, feat, anchors = {}, {}, {}
@@ -383,6 +423,9 @@ class Inference:
                 total_psnr[v] = video_psnr
                 total_ssim[v] = video_ssim
 
+        # per-video per-frame metric lists, kept for callers/tests that
+        # verify engine equivalence frame by frame
+        self.total_psnr, self.total_ssim = total_psnr, total_ssim
         sum_psnr = sum_ssim = 0.0
         n_img = 0
         for k in total_psnr:
@@ -401,12 +444,18 @@ class Inference:
 
 
 def main(argv=None):
+    import sys
+
+    from speinet_tpu.config import parse_args as parse_config_args
     from speinet_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
-    p = argparse.ArgumentParser(description="SPEINet-TPU Inference")
+    p = argparse.ArgumentParser(
+        description="SPEINet-TPU Inference",
+        epilog="Any Config field (--template, --compute_dtype, --dp_devices, "
+               "--chop_shave, ...) is also accepted and overlaid on the "
+               "template, exactly as in main_train.py.")
     p.add_argument("--save_image", type=lambda s: s.lower() != "false", default=True)
-    p.add_argument("--border", type=lambda s: s.lower() != "false", default=True)
     p.add_argument("--chop", action="store_true",
                    help="4-tile spatial chopped forward")
     p.add_argument("--default_data", type=str, default="",
@@ -424,7 +473,13 @@ def main(argv=None):
                         "windows (identical outputs, ~2x fewer encoder legs)")
     p.add_argument("--profile", type=str, default="",
                    help="write a jax.profiler trace to this directory")
-    args = p.parse_args(argv)
+    argv = list(sys.argv[1:] if argv is None else argv)
+    args, config_argv = p.parse_known_args(argv)
+    # remaining flags are Config fields (--compute_dtype bfloat16,
+    # --template, --dp_devices, ...) — the same auto-generated surface as
+    # the training CLI (config.parse_args), so the benchmarked bf16 engine
+    # configuration is reachable from this entry point
+    cfg = parse_config_args(config_argv).replace(chop=args.chop)
 
     # dataset presets (parity: inference_SPEINet.py:626-697 — the reference
     # hardcodes absolute user paths; here presets fill defaults relative to
@@ -446,9 +501,8 @@ def main(argv=None):
         if args.result_path == "./infer_results":
             args.result_path = rpath
 
-    cfg = set_template(Config(template="SPEINet")).replace(chop=args.chop)
     inf = Inference(cfg, args.data_path, args.model_path, args.result_path,
-                    save_image=args.save_image, border=args.border,
+                    save_image=args.save_image, border=cfg.border,
                     detector_pickle=args.detector_pickle or None,
                     self_ensemble=args.self_ensemble,
                     batch_windows=args.batch_windows,

@@ -13,6 +13,7 @@ invariant the reference relies on).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -33,7 +34,7 @@ def chop_batch(x: jnp.ndarray, shave: int = 20) -> jnp.ndarray:
 
 
 def chop_forward(forward_fn, x: jnp.ndarray, shave: int = 20,
-                 min_size: int = 160000) -> jnp.ndarray:
+                 min_size: int = 160000, tile_sharding=None) -> jnp.ndarray:
     """Recursive 4-quadrant chopped forward (parity:
     inference_SPEINet.py:545-607). Below `6 * min_size` pixels the four
     overlapping tiles run as ONE batched forward; above it each tile
@@ -41,11 +42,17 @@ def chop_forward(forward_fn, x: jnp.ndarray, shave: int = 20,
     static per recursion level, so the whole tree traces into one jitted
     program.
 
+    `tile_sharding` (a NamedSharding over the batch axis) distributes the
+    4B tiles across the dp mesh — the TPU analog of the reference engine
+    dispatching quadrants over <=4 GPUs (inference_SPEINet.py:569).
+
     forward_fn: [4B, T, C, hs, ws] -> [4B, C, hs, ws]
     x: [B, T, C, H, W] -> [B, C, H, W]
     """
     h, w = x.shape[-2:]
     tiles = chop_batch(x, shave=shave)
+    if tile_sharding is not None and tiles.shape[0] % tile_sharding.mesh.size == 0:
+        tiles = jax.lax.with_sharding_constraint(tiles, tile_sharding)
     # leaf when small enough — or when tiles would stop shrinking (tile
     # size floors at ~2*shave), which would otherwise recurse forever
     shrinking = (h // 2 + shave < h) and (w // 2 + shave < w)
@@ -54,7 +61,8 @@ def chop_forward(forward_fn, x: jnp.ndarray, shave: int = 20,
     else:
         b = x.shape[0]
         y = jnp.concatenate(
-            [chop_forward(forward_fn, tiles[i * b:(i + 1) * b], shave, min_size)
+            [chop_forward(forward_fn, tiles[i * b:(i + 1) * b], shave,
+                          min_size, tile_sharding)
              for i in range(4)], axis=0)
     return chop_merge(y, h, w)
 

@@ -64,7 +64,10 @@ class Trainer:
 
         self.state = jax.device_put(self.state, replicate_sharding(self.mesh))
         self.train_step = make_train_step(cfg, model, self.tx, mesh=self.mesh)
-        self.eval_step = make_eval_step(model, mesh=None)
+        # eval is sharded over the same mesh: per-epoch test() batches
+        # eval frames to the mesh size (the reference's eval runs under
+        # DataParallel too, trainer_swint_hsa_nsf.py:53-94)
+        self.eval_step = make_eval_step(model, mesh=self.mesh)
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
         # epoch counter resumes from the restored metric log (trainer.py:19-22)
         self.epoch = len(self.ckp.psnr_log)
@@ -128,23 +131,46 @@ class Trainer:
             self.state = self.state.replace(batch_stats=new_bs)
         self.ckp.start_log(train=False)
         n = 0
-        params = jax.device_get(self.state.params)
-        batch_stats = jax.device_get(self.state.batch_stats)
+        params = self.state.params
+        batch_stats = self.state.batch_stats
+        # eval batches fill the dp mesh (batch-1 full frames would leave
+        # mesh.size - 1 devices idle); trailing/odd-shaped batches padded
+        # by repeating the last sample, padding results discarded
+        dp = self.mesh.size
+        pend = []
+
+        def flush():
+            nonlocal n
+            if not pend:
+                return
+            n_real = len(pend)
+            rows = pend + [pend[-1]] * (dp - n_real)
+            inputs = jnp.asarray(np.concatenate([r[0] for r in rows]))
+            gt = jnp.asarray(np.concatenate(
+                [r[1][:, self.cfg.n_sequence // 2] for r in rows]))
+            out = self.eval_step(params, batch_stats, inputs)
+            for i in range(n_real):
+                psnr = float(psnr_shave(gt[i], out[i],
+                                        rgb_range=self.cfg.rgb_range))
+                self.ckp.report_log(psnr, train=False)
+                n += 1
+                if self.cfg.save_images:
+                    filename = pend[i][2][0][self.cfg.n_sequence // 2]
+                    center_in = inputs[i, self.cfg.n_sequence // 2]
+                    imgs = [np.asarray(postprocess_uint8(gt[i], self.cfg.rgb_range)),
+                            np.asarray(postprocess_uint8(center_in, self.cfg.rgb_range)),
+                            np.asarray(postprocess_uint8(out[i], self.cfg.rgb_range))]
+                    self.ckp.save_images(filename, imgs, self.epoch)
+            pend.clear()
+
         for sample in self.data.loader_test:
             inputs, gts, labels, names = sample[0], sample[1], sample[2], sample[3]
-            inputs = jnp.asarray(inputs)
-            gt = jnp.asarray(gts[:, self.cfg.n_sequence // 2])
-            out = self.eval_step(params, batch_stats, inputs)
-            psnr = float(psnr_shave(gt, out, rgb_range=self.cfg.rgb_range))
-            self.ckp.report_log(psnr, train=False)
-            n += 1
-            if self.cfg.save_images:
-                filename = names[0][self.cfg.n_sequence // 2]
-                center_in = inputs[0, self.cfg.n_sequence // 2]
-                imgs = [np.asarray(postprocess_uint8(gt[0], self.cfg.rgb_range)),
-                        np.asarray(postprocess_uint8(center_in, self.cfg.rgb_range)),
-                        np.asarray(postprocess_uint8(out[0], self.cfg.rgb_range))]
-                self.ckp.save_images(filename, imgs, self.epoch)
+            if pend and np.shape(pend[0][0]) != np.shape(inputs):
+                flush()   # frame size changed (e.g. across datasets)
+            pend.append((np.asarray(inputs), np.asarray(gts), names))
+            if len(pend) == dp:
+                flush()
+        flush()
         self.ckp.end_log(max(n, 1), train=False)
         best_idx = int(np.argmax(self.ckp.psnr_log))
         best_val = self.ckp.psnr_log[best_idx]

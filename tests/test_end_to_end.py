@@ -127,3 +127,20 @@ def test_inference_with_detector_fallback(tmp_path):
                     detector_pickle=str(pkl))
     psnr, ssim = inf.infer()
     assert np.isfinite(psnr)
+
+
+def test_inference_detector_fallback_without_pickle(tmp_path):
+    """No label/ dir and no --detector_pickle -> the packaged default
+    logistic detector is used (the reference falls back to its shipped
+    pickle, inference_SPEINet.py:349-353)."""
+    from speinet_tpu.infer import Inference
+    import shutil
+
+    root = make_tree(tmp_path / "ds", n_frames=8)
+    shutil.rmtree(os.path.join(root, "label"))
+    cfg = set_template(Config(template="SPEINet")).replace(
+        n_feat=8, embed_dim=32, depths=[2], num_heads=[4])
+    inf = Inference(cfg, str(root), model_path="",
+                    result_path=str(tmp_path / "r3"), save_image=False)
+    psnr, ssim = inf.infer()
+    assert np.isfinite(psnr)

@@ -113,6 +113,33 @@ def test_train_step_dp_mesh(rng):
     assert int(state.step) == 3
 
 
+def test_eval_step_sharded_matches_single(rng):
+    """make_eval_step(mesh=...) shards the eval batch over all 8 devices
+    (the per-epoch test() no longer leaves mesh.size-1 devices idle —
+    reference eval runs under DataParallel too,
+    trainer_swint_hsa_nsf.py:53-94) with outputs identical to the
+    single-device eval step."""
+    from speinet_tpu.models.speinet import SPEINet
+    from speinet_tpu.training.train_state import create_train_state, make_eval_step
+
+    cfg = _tiny_cfg()
+    model = SPEINet.from_config(cfg)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    x = np.clip(0.5 + 0.05 * rng.standard_normal((8, 5, 3, 40, 40)), 0.02,
+                1.0).astype(np.float32)
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                  jnp.asarray(x[:1]))
+    ev1 = make_eval_step(model, mesh=None)
+    ev8 = make_eval_step(model, mesh=mesh)
+    out1 = np.asarray(ev1(state.params, state.batch_stats, jnp.asarray(x)))
+    out8 = ev8(state.params, state.batch_stats, jnp.asarray(x))
+    # the output really is distributed over the dp mesh
+    assert len({s.device for s in out8.addressable_shards}) == 8
+    np.testing.assert_allclose(np.asarray(out8), out1, rtol=2e-4, atol=2e-4)
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as g
 
