@@ -1,0 +1,91 @@
+"""A/B: whole-block fused swin kernel vs split attention+MLP kernels, on
+hardware at the 720p lv3 shape (180x320, C=256, 8 heads, ws=5).
+
+    python scripts/ab_block.py [b=2] [combo-filter ...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(step, x0, readback):
+    def run(k):
+        x = x0
+        t0 = time.time()
+        for _ in range(k):
+            x, out = step(x)
+        readback(out)
+        return time.time() - t0
+
+    t0 = time.time()
+    run(1)
+    c = time.time() - t0
+    t1 = min(run(1) for _ in range(3))
+    t2 = min(run(5) for _ in range(3))
+    return (t2 - t1) / 4, c
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speinet_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+    import speinet_tpu.models.swinir as swinir_mod
+    from speinet_tpu.models.swinir import SwinBlock
+
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    h, w, c, heads, ws = 180, 320, 256, 8, 5
+    dtype = jnp.bfloat16
+
+    block_w = SwinBlock(dim=c, num_heads=heads, window_size=ws, shift_size=0,
+                        mlp_ratio=2.0, dtype=dtype)
+    block_sw = SwinBlock(dim=c, num_heads=heads, window_size=ws, shift_size=2,
+                         mlp_ratio=2.0, dtype=dtype)
+    key = jax.random.PRNGKey(1)
+    x = (jax.random.normal(key, (b, h * w, c), jnp.float32) * 0.1).astype(dtype)
+    y = x + 0.01
+    variables_w = block_w.init(jax.random.PRNGKey(0), x, y, (h, w), True)
+    variables_sw = block_sw.init(jax.random.PRNGKey(0), x, y, (h, w), True)
+
+    def rb(out):
+        float(jnp.sum(out.astype(jnp.float32)))
+
+    combos = [
+        ("split G8 (r2 default)", {"SPEINET_SWIN_FUSEBLOCK": "0",
+                                   "SPEINET_SWIN_G": "8"}),
+        ("block S2 G8", {"SPEINET_SWIN_G": "8"}),
+        ("block S1 G8", {"SPEINET_SWIN_G": "8", "SPEINET_SWIN_S": "1"}),
+        ("block S2 G4", {"SPEINET_SWIN_G": "4"}),
+        ("block S4 G8", {"SPEINET_SWIN_G": "8", "SPEINET_SWIN_S": "4"}),
+        ("block S2 G16", {"SPEINET_SWIN_G": "16"}),
+    ]
+    if len(sys.argv) > 2:
+        combos = [cc for cc in combos if any(s in cc[0] for s in sys.argv[2:])]
+    for name, env in combos:
+        for k in ("SPEINET_SWIN_G", "SPEINET_SWIN_R", "SPEINET_SWIN_S",
+                  "SPEINET_SWIN_WIDE", "SPEINET_SWIN_FUSEBLOCK"):
+            os.environ.pop(k, None)
+        os.environ.update(env)
+        for tag, blk, vv in (("W", block_w, variables_w),
+                             ("SW", block_sw, variables_sw)):
+            @jax.jit
+            def step(t):
+                out = blk.apply(vv, t, y, (h, w), True)
+                return (t * (1.0 + 1e-12 * jnp.mean(out.astype(jnp.float32))),
+                        out)
+
+            try:
+                per, comp = timeit(step, x, rb)
+                print(f"b={b} {name} [{tag}]: {per*1000:8.2f} ms "
+                      f"(compile {comp:.0f}s)", flush=True)
+            except Exception as e:
+                print(f"b={b} {name} [{tag}]: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+
+
+main()

@@ -167,7 +167,36 @@ class WindowCrossAttention(nn.Module):
     use_fused: bool = True
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        c = self.dim
+        wh, ww = self.window_size
+        # attribute names give the same param-tree keys the old compact
+        # layout had (attn/{qkv_x,qkv_y,proj,relative_position_bias_table})
+        self.qkv_x = DenseParams(c, 2 * c)
+        self.qkv_y = DenseParams(c, c)
+        self.proj = DenseParams(c, c)
+        self.relative_position_bias_table = self.param(
+            "relative_position_bias_table", trunc_normal_init,
+            ((2 * wh - 1) * (2 * ww - 1), self.num_heads), jnp.float32)
+
+    # accessors for the whole-block fused kernel (SwinBlock pulls the
+    # attention weights out and runs one pallas_call for the full block)
+    def qkv_x_params(self):
+        return self.qkv_x()
+
+    def qkv_y_params(self):
+        return self.qkv_y()
+
+    def proj_params(self):
+        return self.proj()
+
+    def rel_pos_bias(self):
+        wh, ww = self.window_size
+        n = wh * ww
+        idx = relative_position_index(wh, ww)
+        bias = self.relative_position_bias_table[np.asarray(idx).reshape(-1)]
+        return bias.reshape(n, n, self.num_heads).transpose(2, 0, 1)
+
     def __call__(self, x_img, y_img, mask=None, shift: int = 0,
                  pad_h: int = 0, pad_w: int = 0, deterministic: bool = True,
                  ln=None):
@@ -180,15 +209,10 @@ class WindowCrossAttention(nn.Module):
         ws = self.window_size[0]
         n = ws * ws
 
-        wkv, bkv = DenseParams(c, 2 * c, name="qkv_x")()
-        wq, bq = DenseParams(c, c, name="qkv_y")()
-        wproj, bproj = DenseParams(c, c, name="proj")()
-        wh, ww = self.window_size
-        table = self.param("relative_position_bias_table", trunc_normal_init,
-                           ((2 * wh - 1) * (2 * ww - 1), h), jnp.float32)
-        idx = relative_position_index(wh, ww)
-        bias = table[np.asarray(idx).reshape(-1)].reshape(n, n, h)
-        bias = bias.transpose(2, 0, 1)                         # [h, N, N]
+        wkv, bkv = self.qkv_x()
+        wq, bq = self.qkv_y()
+        wproj, bproj = self.proj()
+        bias = self.rel_pos_bias()                             # [h, N, N]
 
         fused_ok = (self.use_fused and deterministic and _fused_enabled()
                     and hp % ws == 0 and wp % ws == 0)
@@ -277,6 +301,32 @@ class SwinBlock(nn.Module):
         if ss > 0:
             xi = jnp.roll(xi, (-ss, -ss), axis=(1, 2))
             yi = jnp.roll(yi, (-ss, -ss), axis=(1, 2))
+
+        # single-kernel whole-block path: attention + both residuals + MLP
+        # in ONE pallas_call (halves kernel launches and keeps the block's
+        # intermediate stream in VMEM); SPEINET_SWIN_FUSEBLOCK=0 falls back
+        # to the separate attention + LN/MLP kernels
+        import os
+        if (fused and hp % ws == 0 and wp % ws == 0
+                and os.environ.get("SPEINET_SWIN_FUSEBLOCK", "1") == "1"):
+            from speinet_tpu.ops.pallas_swin import fused_swin_block
+
+            # materialize the attention submodule's params so both paths
+            # share one tree layout
+            wkv, bkv = attn_mod.qkv_x_params()
+            wq, bq = attn_mod.qkv_y_params()
+            wproj, bproj = attn_mod.proj_params()
+            bias_hnn = attn_mod.rel_pos_bias()
+            out = fused_swin_block(
+                xi.astype(self.dtype), yi.astype(self.dtype),
+                ln1_scale, ln1_bias, wkv, bkv, wq, bq, wproj, bproj,
+                bias_hnn, ln2_scale, ln2_bias, w1, b1, w2, b2,
+                ws=ws, shift=ss, pad_h=ph, pad_w=pw, heads=self.num_heads)
+            if ss > 0:
+                out = jnp.roll(out, (ss, ss), axis=(1, 2))
+            if ph or pw:
+                out = out[:, :hh, :ww]
+            return out.reshape(b, l, c)
 
         mask = None
         if not fused:

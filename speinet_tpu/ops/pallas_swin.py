@@ -192,6 +192,179 @@ def fused_ln_mlp(x: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2, b2,
     return out[:, :l] if pad else out
 
 
+def _block_kernel(x_ref, y_ref, ls1_ref, lb1_ref, wkv_ref, bkv_ref, wq_ref,
+                  bq_ref, wp_ref, bp_ref, bias_ref, mask_ref, ls2_ref,
+                  lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, ws: int,
+                  g: int, s_batch: int, heads: int, scale: float,
+                  has_mask: bool):
+    """One FULL Swin block (attn + both residuals + LN2 + MLP) per grid
+    step, for `s_batch` batch entries of one window row-group at once:
+
+        x' = x + proj(softmax(QK^T/s + bias + mask) V)
+        o  = x' + fc2(gelu(fc1(LN2(x'))))
+
+    The `s_batch` entries' windows are packed block-diagonally into ONE
+    score matmul per head (M = s_batch*g*N instead of g*N), which doubles
+    the MXU M-dimension and halves grid steps vs the attention-only kernel;
+    scores/intermediates never leave VMEM and the block's intermediate
+    stream never round-trips HBM. bias_ref arrives pre-expanded to
+    [heads, S*g*N, S*g*N] with the cross-stream/cross-window -1e9 already
+    folded in, so non-shifted blocks (has_mask=False) skip the per-step
+    mask add entirely."""
+    n = ws * ws
+    gn = g * n
+    sgn = s_batch * gn
+    c = x_ref.shape[-1]
+    hd = c // heads
+
+    def partition(img):
+        # [S, ws, g*ws, C] -> [S*g*N, C] (stream major, window major)
+        t = img.reshape(s_batch, ws, g, ws, c).transpose(0, 2, 1, 3, 4)
+        return t.reshape(sgn, c)
+
+    xw_raw = partition(x_ref[:])
+    yw_raw = partition(y_ref[:])
+    xw = _ln(xw_raw, ls1_ref[:], lb1_ref[:]).astype(x_ref.dtype)
+    yw = _ln(yw_raw, ls1_ref[:], lb1_ref[:]).astype(y_ref.dtype)
+
+    kv = jnp.dot(xw, wkv_ref[:], preferred_element_type=jnp.float32) + bkv_ref[:]
+    q = jnp.dot(yw, wq_ref[:], preferred_element_type=jnp.float32) + bq_ref[:]
+    q = (q * scale).astype(xw.dtype)
+    kv = kv.astype(xw.dtype)
+
+    if has_mask:
+        # per-window shift/pad mask, identical for every stream: tile to
+        # [sgn, sgn] once (the off-stream blocks are already -1e9 in bias)
+        m = mask_ref[0, 0]
+        mtile = jnp.concatenate([jnp.concatenate([m] * s_batch, axis=0)]
+                                * s_batch, axis=1)
+    heads_out = []
+    for h in range(heads):
+        qh = q[:, h * hd : (h + 1) * hd]
+        kh = kv[:, h * hd : (h + 1) * hd]
+        vh = kv[:, c + h * hd : c + (h + 1) * hd]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + (bias_ref[h] + mtile if has_mask else bias_ref[h])
+        p = jax.nn.softmax(s, axis=-1).astype(xw.dtype)
+        heads_out.append(jnp.dot(p, vh, preferred_element_type=jnp.float32))
+    out = jnp.concatenate(heads_out, axis=1).astype(xw.dtype)
+
+    res = jnp.dot(out, wp_ref[:], preferred_element_type=jnp.float32) + bp_ref[:]
+    x2 = xw_raw.astype(jnp.float32) + res          # first residual (f32)
+
+    xn2 = _ln(x2, ls2_ref[:], lb2_ref[:]).astype(xw.dtype)
+    hmid = jnp.dot(xn2, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    hmid = (0.5 * hmid * (1.0 + _erf(hmid * (2.0 ** -0.5)))).astype(xw.dtype)
+    y2 = jnp.dot(hmid, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    o = (x2 + y2).astype(o_ref.dtype)
+
+    seg = o.reshape(s_batch, g, ws, ws, c).transpose(0, 2, 1, 3, 4)
+    o_ref[:] = seg.reshape(s_batch, ws, g * ws, c)
+
+
+def fused_swin_block(
+    x: jnp.ndarray, y: jnp.ndarray,
+    ln1_scale, ln1_bias, wkv, bkv, wq, bq, wp_, bp, bias,
+    ln2_scale, ln2_bias, w1, b1, w2, b2,
+    ws: int, shift: int, pad_h: int, pad_w: int, heads: int,
+) -> jnp.ndarray:
+    """x, y: [B, Hp, Wp, C] RAW (un-normalized) already rolled/padded.
+    Returns the FULL block output (x + attn + MLP), still rolled/padded —
+    the caller un-rolls/crops. Numerics match SwinBlock's XLA path
+    (tests/test_pallas_swin.py)."""
+    import os
+
+    b, hp, wpx, c = x.shape
+    g = pick_group(wpx // ws, max_g=int(os.environ.get("SPEINET_SWIN_G", "8")))
+    n = ws * ws
+    s_batch = int(os.environ.get("SPEINET_SWIN_S", "2"))
+    while b % s_batch:
+        s_batch -= 1
+    sgn = s_batch * g * n
+    has_mask = bool(shift > 0 or pad_h or pad_w)
+    nr, nc = hp // ws, wpx // (g * ws)
+    dedup = shift > 0 and not (pad_h or pad_w)
+    # the per-(row, col) shift/pad mask stays [gN, gN] (tiled to streams
+    # in-kernel only when needed); when there is no mask the kernel skips
+    # it entirely, since cross-window/-stream -1e9 is folded into the bias.
+    # Shift-only masks are deduplicated to the 4 distinct blocks
+    # (packed_mask_dedup) so no 46 MB constant lands in the module.
+    if dedup:
+        mask = jnp.asarray(packed_mask_dedup(hp, wpx, ws, shift, g))
+    else:
+        mask = jnp.asarray(packed_mask(hp, wpx, ws, shift, pad_h, pad_w, g)
+                           if has_mask
+                           else np.zeros((nr, nc, 1, 1), np.float32))
+    if has_mask:
+        # strip packed_mask's own off-block -1e9 (it lives in the bias now)
+        mask = jnp.maximum(mask, -200.0)
+    scale = float((c // heads) ** -0.5)
+    # rel-pos bias pre-expanded to the stream-packed score shape with the
+    # cross-window/cross-stream blocks at -1e9 (built in XLA, tiny inputs)
+    eye = jnp.eye(s_batch * g, dtype=jnp.float32)
+    bias_diag = jnp.einsum("ij,hmn->himjn", eye, bias).reshape(heads, sgn, sgn)
+    offblock = (1.0 - jnp.repeat(jnp.repeat(eye, n, axis=0), n, axis=1)) * (-1e9)
+    bias_packed = bias_diag + offblock[None]
+
+    kernel = functools.partial(_block_kernel, ws=ws, g=g, s_batch=s_batch,
+                               heads=heads, scale=scale, has_mask=has_mask)
+    grid = (b // s_batch, hp // ws, wpx // (g * ws))
+    gws = g * ws
+    dtype = x.dtype
+    hidden = w1.shape[1]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((s_batch, ws, gws, c), lambda bi, i, j: (bi, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_batch, ws, gws, c), lambda bi, i, j: (bi, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ln1 scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ln1 bias
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wkv
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bkv
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wq
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bq
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wp
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bp
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias [h, S*gN, S*gN]
+            pl.BlockSpec((1, 1, g * n, g * n),
+                         _dedup_index_map(nr, nc),
+                         memory_space=pltpu.VMEM)
+            if dedup else
+            pl.BlockSpec((1, 1, g * n, g * n) if has_mask else (1, 1, 1, 1),
+                         lambda bi, i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ln2 scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ln2 bias
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b2
+        ],
+        out_specs=pl.BlockSpec((s_batch, ws, gws, c),
+                               lambda bi, i, j: (bi, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wpx, c), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * wpx * c * (4 * c + 2 * hidden
+                                          + 2 * s_batch * g * n),
+            bytes_accessed=3 * b * hp * wpx * c * x.dtype.itemsize,
+            transcendentals=b * hp * wpx * (g * n + hidden),
+        ),
+    )(x.astype(dtype), y.astype(dtype), ln1_scale, ln1_bias,
+      wkv.astype(dtype), bkv, wq.astype(dtype), bq, wp_.astype(dtype), bp,
+      bias_packed, mask, ln2_scale, ln2_bias, w1.astype(dtype), b1,
+      w2.astype(dtype), b2)
+    return out
+
+
 def pick_group(n_w_w: int, max_g: int = 8) -> int:
     """Largest divisor of the per-row window count that is <= max_g."""
     for g in range(min(max_g, n_w_w), 0, -1):
@@ -241,6 +414,37 @@ def packed_mask(hp: int, wp: int, ws: int, shift: int, pad_h: int, pad_w: int,
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def packed_mask_dedup(hp: int, wp: int, ws: int, shift: int,
+                      g: int) -> np.ndarray:
+    """[2, 2, g*N, g*N]: the packed shift mask deduplicated by (is-last-
+    window-row, is-last-window-colgroup). A shifted swin mask only differs
+    in the last window row/column (the wrap regions), so the full
+    [Hp/ws, Wp/(g*ws), gN, gN] constant — 46 MB at 720p-lv3, repeated once
+    per RSTB trace, 276 MB of the restore program's 343 MB serialized
+    module, which overflowed the remote-compile relay's request limit —
+    collapses to 4 blocks selected by the BlockSpec index map. pad==0 only
+    (padding can spill outside the last window row when pad+shift > ws)."""
+    full = packed_mask(hp, wp, ws, shift, 0, 0, g)
+    nr, nc = full.shape[:2]
+    out = np.stack([np.stack([full[0, 0], full[0, nc - 1]]),
+                    np.stack([full[nr - 1, 0], full[nr - 1, nc - 1]])])
+    # verify the redundancy assumption on the actual array (cached, cheap)
+    assert (full[: nr - 1, : nc - 1] == full[0, 0]).all()
+    assert (full[: nr - 1, nc - 1] == full[0, nc - 1]).all()
+    assert (full[nr - 1, : nc - 1] == full[nr - 1, 0]).all()
+    return out
+
+
+def _dedup_index_map(nr: int, nc: int):
+    """Index map selecting the packed_mask_dedup block for grid step (i, j):
+    interior -> (0, 0), last window row -> (1, *), last colgroup -> (*, 1)."""
+    def imap(bi, i, j):
+        return (jnp.minimum(i // max(nr - 1, 1), 1),
+                jnp.minimum(j // max(nc - 1, 1), 1), 0, 0)
+    return imap
+
+
 def fused_window_cross_attention(
     xn: jnp.ndarray, yn: jnp.ndarray,
     ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
@@ -267,8 +471,13 @@ def fused_window_cross_attention(
     # fails to lower on hardware (Mosaic gather-lowering shape mismatch in
     # the head-expansion reshape); keep it off until Mosaic supports it.
     wide = os.environ.get("SPEINET_SWIN_WIDE", "0") == "1"
-    mask = jnp.asarray(packed_mask(hp, wpx, ws, shift, pad_h, pad_w, g))
-    mask = mask.reshape(hp // ws, wpx // (g * ws), g * n, g * n)
+    nr, nc = hp // ws, wpx // (g * ws)
+    dedup = shift > 0 and not (pad_h or pad_w) and r_rows == 1
+    if dedup:
+        mask = jnp.asarray(packed_mask_dedup(hp, wpx, ws, shift, g))
+    else:
+        mask = jnp.asarray(packed_mask(hp, wpx, ws, shift, pad_h, pad_w, g))
+        mask = mask.reshape(nr, nc, g * n, g * n)
     scale = float((c // heads) ** -0.5)
     # block-diagonal packed relative-position bias, built in XLA (tiny)
     eye = jnp.eye(g, dtype=bias.dtype)
@@ -301,6 +510,9 @@ def fused_window_cross_attention(
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wp
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bp
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bias [h, gN, gN]
+            pl.BlockSpec((1, 1, g * n, g * n), _dedup_index_map(nr, nc),
+                         memory_space=pltpu.VMEM)
+            if dedup else
             pl.BlockSpec((r_rows, 1, g * n, g * n),
                          lambda bi, i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),

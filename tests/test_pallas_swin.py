@@ -33,11 +33,11 @@ def _interp_pallas(monkeypatch):
 
 
 def _run_block(h, w, c, heads, shift, dtype, rng, monkeypatch,
-               window_size=5):
+               window_size=5, batch=2):
     block = SwinBlock(dim=c, num_heads=heads, window_size=window_size,
                       shift_size=shift, mlp_ratio=2.0, dtype=dtype)
-    x = jnp.asarray(rng.standard_normal((2, h * w, c)).astype(np.float32))
-    y = jnp.asarray(rng.standard_normal((2, h * w, c)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((batch, h * w, c)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((batch, h * w, c)).astype(np.float32))
     x = x.astype(dtype)
     y = y.astype(dtype)
     variables = block.init(jax.random.PRNGKey(0), x, y, (h, w), True)
@@ -95,7 +95,9 @@ def test_swin_block_group16(rng, monkeypatch):
 
 def test_swin_block_wide(rng, monkeypatch):
     """SPEINET_SWIN_WIDE=1 computes all heads in one block-diagonal score
-    matmul + one segmented softmax; numerics must match the per-head loop."""
+    matmul + one segmented softmax; numerics must match the per-head loop.
+    (Knob of the attention-only kernel: whole-block fusion pinned off.)"""
+    monkeypatch.setenv("SPEINET_SWIN_FUSEBLOCK", "0")
     monkeypatch.setenv("SPEINET_SWIN_WIDE", "1")
     ref, fused = _run_block(10, 15, 32, 4, 2, jnp.float32, rng, monkeypatch)
     np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
@@ -104,6 +106,7 @@ def test_swin_block_wide(rng, monkeypatch):
 def test_swin_block_wide_padded(rng, monkeypatch):
     """Wide path with non-multiple H/W (pad masks + zero-denominator
     guards must hold)."""
+    monkeypatch.setenv("SPEINET_SWIN_FUSEBLOCK", "0")
     monkeypatch.setenv("SPEINET_SWIN_WIDE", "1")
     ref, fused = _run_block(9, 13, 32, 4, 0, jnp.float32, rng, monkeypatch)
     np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
@@ -112,9 +115,79 @@ def test_swin_block_wide_padded(rng, monkeypatch):
 def test_swin_block_r_rows_gt1(rng, monkeypatch):
     """SPEINET_SWIN_R>1 processes several window-rows per grid step; the
     per-row mask indexing must still isolate each row."""
+    monkeypatch.setenv("SPEINET_SWIN_FUSEBLOCK", "0")
     monkeypatch.setenv("SPEINET_SWIN_R", "2")
     ref, fused = _run_block(10, 15, 32, 4, 2, jnp.float32, rng, monkeypatch)
     np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
+
+
+def test_swin_block_split_kernels(rng, monkeypatch):
+    """The two-kernel path (separate attention + LN/MLP) stays correct
+    with whole-block fusion pinned off."""
+    monkeypatch.setenv("SPEINET_SWIN_FUSEBLOCK", "0")
+    ref, fused = _run_block(10, 15, 32, 4, 2, jnp.float32, rng, monkeypatch)
+    np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
+
+
+def test_swin_block_single_batch(rng, monkeypatch):
+    """batch=1: the whole-block kernel falls back to s_batch=1 (no
+    cross-stream packing)."""
+    ref, fused = _run_block(10, 15, 32, 4, 2, jnp.float32, rng, monkeypatch,
+                            batch=1)
+    np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
+
+
+def test_swin_block_stream_packing_isolates(rng, monkeypatch):
+    """s_batch=2 block-diagonal stream packing must equal two independent
+    single-sample runs (no cross-stream attention leakage)."""
+    block = SwinBlock(dim=32, num_heads=4, window_size=5, shift_size=2,
+                      mlp_ratio=2.0, dtype=jnp.float32)
+    h = w = 10
+    x = jnp.asarray(rng.standard_normal((2, h * w, 32)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((2, h * w, 32)).astype(np.float32))
+    variables = block.init(jax.random.PRNGKey(0), x, y, (h, w), True)
+    _interp_pallas(monkeypatch)
+    monkeypatch.setattr(swinir_mod, "_fused_enabled", lambda: True)
+    both = block.apply(variables, x, y, (h, w), True)
+    one0 = block.apply(variables, x[:1], y[:1], (h, w), True)
+    one1 = block.apply(variables, x[1:], y[1:], (h, w), True)
+    np.testing.assert_allclose(np.asarray(both[0]), np.asarray(one0[0]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(both[1]), np.asarray(one1[0]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_swin_block_dedup_mask_grid(rng, monkeypatch):
+    """Shift masks are deduplicated to [2,2,gN,gN] selected by the index
+    map (packed_mask_dedup); a grid with real interior rows AND several
+    column groups must still match the XLA path exactly."""
+    # h=20 -> 4 window rows (2 interior), w=80 -> 16 windows/row, g=8 ->
+    # 2 column groups
+    ref, fused = _run_block(20, 80, 32, 4, 2, jnp.float32, rng, monkeypatch)
+    np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
+
+
+def test_swin_attn_dedup_mask_grid(rng, monkeypatch):
+    """Same grid through the attention-only kernel (FUSEBLOCK=0)."""
+    monkeypatch.setenv("SPEINET_SWIN_FUSEBLOCK", "0")
+    ref, fused = _run_block(20, 80, 32, 4, 2, jnp.float32, rng, monkeypatch)
+    np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_mask_dedup_matches_full():
+    """The 4 dedup blocks reproduce the full packed mask at every (row,
+    colgroup) position (the property the index map relies on)."""
+    from speinet_tpu.ops.pallas_swin import packed_mask, packed_mask_dedup
+
+    hp, wp, ws, shift, g = 20, 80, 5, 2, 8
+    full = packed_mask(hp, wp, ws, shift, 0, 0, g)
+    ded = packed_mask_dedup(hp, wp, ws, shift, g)
+    nr, nc = full.shape[:2]
+    for i in range(nr):
+        for j in range(nc):
+            np.testing.assert_array_equal(
+                full[i, j], ded[min(i // max(nr - 1, 1), 1),
+                                min(j // max(nc - 1, 1), 1)])
 
 
 def test_fused_ln_mlp_matches_xla(rng, monkeypatch):
