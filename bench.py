@@ -1,8 +1,18 @@
 """Benchmark: 720p frames/sec through the flagship SPEINet forward on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 Baseline (BASELINE.md): the reference averages ~1.21 s forward per 720p
 frame on an A100-class GPU => 0.826 frames/sec.
+
+Both engine modes are measured in one run and recorded side by side in
+`detail` (VERDICT r2 #9: a workload change must never masquerade as a
+kernel speedup across rounds):
+- video:  steady-state sliding-window throughput through the cached-pyramid
+          engine (infer --cache_pyramids) — the video task the baseline's
+          per-window forward_time measures.
+- direct: the plain full forward (all 7 encoder legs per window).
+The headline `value` is the video mode. Set BENCH_MODE=direct|video to run
+only one (BENCH_ITERS, BENCH_BATCH, BENCH_DTYPE knobs as before).
 
 Timing methodology: iterations are CHAINED (each forward's output is mixed
 into the next input) and the loop ends with a host readback. The remote
@@ -31,11 +41,38 @@ _COLD_ENTRY_BYTES = 1 << 20
 def _cache_files(cache_dir):
     if not (cache_dir and os.path.isdir(cache_dir)):
         return set()
-    return {f for f in os.listdir(cache_dir)
-            if os.path.getsize(os.path.join(cache_dir, f)) >= _COLD_ENTRY_BYTES}
+    out = set()
+    for f in os.listdir(cache_dir):
+        try:   # concurrent eviction/rename of tmp entries is fine to skip
+            if os.path.getsize(os.path.join(cache_dir, f)) >= _COLD_ENTRY_BYTES:
+                out.add(f)
+        except OSError:
+            pass
+    return out
 
 
-def _run_video_mode(model, variables, cfg, frames, batch, dtype, h, w):
+def _timed_chain(chunk, prev0, n_iter):
+    """Compile (first call) then time n_iter chained calls ending in a
+    readback. Returns (sec_per_iter, compile_sec, cache_state)."""
+    import jax
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    before = _cache_files(cache_dir)
+    t0 = time.time()
+    out = chunk(prev0)
+    _ = float(out.sum())
+    compile_time = time.time() - t0
+    cache_state = "cold" if _cache_files(cache_dir) - before else "warm"
+
+    t0 = time.time()
+    prev = out
+    for _ in range(n_iter):
+        prev = chunk(prev)
+    _ = float(prev.sum())
+    return (time.time() - t0) / n_iter, compile_time, cache_state
+
+
+def _run_video_mode(model, variables, frames, batch, h, w, n_iter):
     """Steady-state sliding-window video throughput through the cached
     engine (infer.py --cache_pyramids): per chunk of `batch` consecutive
     windows, the device work is 3 encoder legs per NEW frame (enc, enc(RL1),
@@ -46,27 +83,30 @@ def _run_video_mode(model, variables, cfg, frames, batch, dtype, h, w):
     (tests/test_infer_equivalence.py::test_cached_pyramid_engine_matches_direct).
     The reference's 1.21 s/frame baseline measures this same workload
     (per-window forward_time in a stride-1 video loop)."""
-    import time
-
     import jax
     import jax.numpy as jnp
-    import numpy as np
     from speinet_tpu.models.speinet import SPEINet
 
     n_anchor = max(1, round(batch * float(os.environ.get("BENCH_SHARP_RATIO",
                                                          "0.5"))))
 
-    def legs(fr):
-        return model.apply(variables, fr, method=SPEINet.encode_window_legs)
+    # weights as traced args, not closure constants — closed-over params
+    # (~110 MB) embed into each serialized module and, together with the
+    # packed swin masks, overflowed the remote-compile relay's request limit
+    def legs(v, fr):
+        return model.apply(v, fr, method=SPEINet.encode_window_legs)
 
-    def anchor(fr):
-        return model.apply(variables, fr, method=SPEINet.anchor_pyramid)
+    def anchor(v, fr):
+        return model.apply(v, fr, method=SPEINet.anchor_pyramid)
 
-    def restore(m, n0, n1, p1, p2, p3, hs):
-        return model.apply(variables, m, (n0, n1), p1, p2, p3, hs,
+    def restore(v, m, n0, n1, p1, p2, p3, hs):
+        return model.apply(v, m, (n0, n1), p1, p2, p3, hs,
                            method=SPEINet.restore_from_features)
 
-    jl, ja, jr = jax.jit(legs), jax.jit(anchor), jax.jit(restore)
+    _jl, _ja, _jr = jax.jit(legs), jax.jit(anchor), jax.jit(restore)
+    jl = lambda fr: _jl(variables, fr)
+    ja = lambda fr: _ja(variables, fr)
+    jr = lambda *a: _jr(variables, *a)
 
     base = np.stack([frames[i % len(frames)] for i in range(batch)])
     base = jnp.asarray(np.broadcast_to(base[:, None], (batch, 3, h, w)).copy())
@@ -83,36 +123,35 @@ def _run_video_mode(model, variables, cfg, frames, batch, dtype, h, w):
         out = jr(m, n, jnp.roll(n, 1, axis=0), rep(p1), rep(p2), rep(p3), hs)
         return out
 
-    cache_dir = jax.config.jax_compilation_cache_dir
-    before = _cache_files(cache_dir)
-    t0 = time.time()
-    out = chunk(jnp.zeros((batch, 3, h, w), jnp.float32))
-    _ = float(out.sum())
-    compile_time = time.time() - t0
-    cache_state = "cold" if _cache_files(cache_dir) - before else "warm"
+    dt, compile_time, cache_state = _timed_chain(
+        chunk, jnp.zeros((batch, 3, h, w), jnp.float32), n_iter)
+    return {"fps": round(batch / dt, 4),
+            "sec_per_frame": round(dt / batch, 4),
+            "compile_sec": round(compile_time, 1),
+            "compile_cache": cache_state}
 
-    n_iter = int(os.environ.get("BENCH_ITERS", "5"))
-    t0 = time.time()
-    prev = out
-    for _ in range(n_iter):
-        prev = chunk(prev)
-    _ = float(prev.sum())
-    dt = (time.time() - t0) / n_iter
 
-    fps = batch / dt
-    print(json.dumps({
-        "metric": "720p_frames_per_sec",
-        "value": round(fps, 4),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "detail": {"sec_per_frame": round(dt / batch, 4),
-                   "batch": batch,
-                   "compile_sec": round(compile_time, 1),
-                   "compile_cache": cache_state,
-                   "dtype": dtype,
-                   "mode": "video(cached-pyramids, sharp_ratio=0.5)",
-                   "timing": "chained+readback"},
-    }))
+def _run_direct_mode(model, variables, frames, batch, h, w, n_iter):
+    """Plain full forward: all 7 encoder legs + fusion + transfer + decode
+    per window (the reference's single-window inference program)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.broadcast_to(frames[None, :, None],
+                                    (batch, 5, 3, h, w)).copy())
+
+    def step(v, inp, prev):
+        inp = inp.at[:, 1].add(prev * 1e-4)
+        return model.apply(v, inp, train=False)
+
+    _fwd = jax.jit(step)
+    fwd = lambda prev: _fwd(variables, x, prev)
+    dt, compile_time, cache_state = _timed_chain(
+        fwd, jnp.zeros((batch, 3, h, w), jnp.float32), n_iter)
+    return {"fps": round(batch / dt, 4),
+            "sec_per_frame": round(dt / batch, 4),
+            "compile_sec": round(compile_time, 1),
+            "compile_cache": cache_state}
 
 
 def main():
@@ -126,7 +165,7 @@ def main():
     from speinet_tpu.models.speinet import SPEINet
 
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    mode = os.environ.get("BENCH_MODE", "video")
+    mode = os.environ.get("BENCH_MODE", "both")
     cfg = set_template(Config(template="SPEINet")).replace(compute_dtype=dtype)
     model = SPEINet.from_config(cfg)
 
@@ -138,53 +177,38 @@ def main():
     # batch 8 measured faster than 4 (2.816 vs 2.735 fps/chip, video mode,
     # warm cache, one v5e chip) and its programs are cache-warmed
     batch = int(os.environ.get("BENCH_BATCH", "8"))
+    n_iter = int(os.environ.get("BENCH_ITERS", "5"))
     yy, xx = np.mgrid[0:h, 0:w]
     base = (0.5 + 0.3 * np.sin(xx / 11.0) * np.cos(yy / 13.0)).astype(np.float32)
     frames = np.stack([np.clip(base + 0.02 * rng.standard_normal((h, w)) + 0.01 * t, 0.02, 1.0)
                        for t in range(5)])
-    if mode == "video":
-        _run_video_mode(model, variables, cfg, frames, batch, dtype, h, w)
-        return
 
-    x = jnp.asarray(np.broadcast_to(frames[None, :, None], (batch, 5, 3, h, w)).copy())
+    detail = {"batch": batch, "dtype": dtype, "timing": "chained+readback",
+              "mode": "video(cached-pyramids, sharp_ratio=0.5)"}
+    video = direct = None
+    if mode in ("video", "both"):
+        video = _run_video_mode(model, variables, frames, batch, h, w, n_iter)
+        detail["video_fps"] = video["fps"]
+        detail.update({k: video[k] for k in
+                       ("sec_per_frame", "compile_sec", "compile_cache")})
+    if mode in ("direct", "both"):
+        direct = _run_direct_mode(model, variables, frames, batch, h, w, n_iter)
+        detail["direct_fps"] = direct["fps"]
+        detail["direct_compile_sec"] = direct["compile_sec"]
+        detail["direct_compile_cache"] = direct["compile_cache"]
+    head = video if video is not None else direct
+    if video is None:
+        detail["mode"] = "direct(full forward)"
+        detail.update({k: direct[k] for k in
+                       ("sec_per_frame", "compile_sec", "compile_cache")})
 
-    def step(inp, prev):
-        # chain: fold the previous output into the center frame so no call
-        # can be elided or reordered by the lazy relay
-        inp = inp.at[:, 1].add(prev * 1e-4)
-        return model.apply(variables, inp, train=False)
-
-    cache_dir = jax.config.jax_compilation_cache_dir
-    before = _cache_files(cache_dir)
-
-    fwd = jax.jit(step)
-    prev0 = jnp.zeros((batch, 3, h, w), jnp.float32)
-    t0 = time.time()
-    out = fwd(x, prev0)
-    _ = float(out.sum())     # host readback = the only true sync point
-    compile_time = time.time() - t0
-    cache_state = "cold" if _cache_files(cache_dir) - before else "warm"
-
-    n_iter = int(os.environ.get("BENCH_ITERS", "5"))
-    t0 = time.time()
-    prev = out
-    for _ in range(n_iter):
-        prev = fwd(x, prev)
-    _ = float(prev.sum())
-    dt = (time.time() - t0) / n_iter
-
-    fps = batch / dt
+    fps = head["fps"]
     print(json.dumps({
         "metric": "720p_frames_per_sec",
-        "value": round(fps, 4),
+        "value": fps,
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "detail": {"sec_per_frame": round(dt / batch, 4),
-                   "batch": batch,
-                   "compile_sec": round(compile_time, 1),
-                   "compile_cache": cache_state,
-                   "dtype": dtype,
-                   "timing": "chained+readback"},
+        "detail": detail,
     }))
 
 
