@@ -128,7 +128,8 @@ def main():
     # --- FULL forward ---
     model = SPEINet.from_config(cfg)
     x = jax.random.uniform(key, (b, 5, 3, h, w), jnp.float32, 0.1, 1.0)
-    variables = model.init(rng, jnp.zeros((1, 5, 3, 80, 80), jnp.float32))
+    from speinet_tpu.utils.init_cache import cached_init
+    variables = cached_init(model, rng, jnp.zeros((1, 5, 3, 80, 80), jnp.float32))
 
     @jax.jit
     def full_step(t):

@@ -3,11 +3,12 @@ a reproducible synthetic tree and commit the metrics CSV, side by side with
 the reference's committed numbers (LD_detector/gopros_output.csv:2 —
 LogisticRegression 95.71% acc / 99.88% recall / 92.33% precision on GoProS).
 
-The env has no GoPro data (zero egress), so the evidence tree is the
-in-repo generator's synthetic one: textured drifting-pattern sharp videos
-(quality_evidence.make_sharp_videos) re-blurred by the GoProRS windowed-mean
-generator — the same blur process the reference detector was trained on,
-on synthetic texture instead of street scenes.
+The env has no GoPro data (zero egress), so the evidence tree is synthetic:
+natural-statistics sharp videos (1/f spectrum + hard-edged shapes + fine
+detail — the focus measures key on exactly the high-frequency content street
+scenes have) re-blurred by the in-repo GoProRS windowed-mean generator — the
+same blur process the reference detector was trained on
+(sharp_detector_params_estimation_parallel.py:50-76).
 
     JAX_PLATFORMS=cpu python scripts/detector_evidence.py \
         [--out docs/detector_eval]
@@ -25,6 +26,52 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 
+def make_detector_videos(root, n_videos=6, n_frames=200, h=240, w=320,
+                         seed=3):
+    """Sharp videos with natural-image statistics: 1/f-spectrum texture
+    (not a hard Gaussian cutoff — keeps high-frequency energy), hard-edged
+    drifting shapes, and fine-grain detail. The 6 focus measures (Laplacian,
+    Sobel, wavelet detail, DCT, ...) all measure high-frequency content, so
+    sharp/blurry separability depends on the sharp frames actually having
+    it, as street scenes do."""
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(seed)
+    yy0, xx0 = np.mgrid[0:h, 0:w]
+    for v in range(n_videos):
+        d = os.path.join(root, f"video{v:02d}")
+        os.makedirs(d, exist_ok=True)
+        # 1/f texture, periodic so drift = roll
+        base = rng.standard_normal((h, w, 3))
+        f = np.fft.rfft2(base, axes=(0, 1))
+        fy = np.fft.fftfreq(h)[:, None, None]
+        fx = np.fft.rfftfreq(w)[None, :, None]
+        rad = np.sqrt(fy * fy + fx * fx)
+        f *= 1.0 / np.maximum(rad, 1.0 / max(h, w))
+        tex = np.fft.irfft2(f, s=(h, w), axes=(0, 1))
+        tex = (tex - tex.min()) / (np.ptp(tex) + 1e-9)
+        # hard-edged shapes (rectangles + disks) burned into the texture
+        for _ in range(12):
+            cy, cx = rng.integers(0, h), rng.integers(0, w)
+            r = int(rng.integers(8, 40))
+            col = rng.random(3)
+            if rng.random() < 0.5:
+                m = ((np.abs(((yy0 - cy + h // 2) % h) - h // 2) < r)
+                     & (np.abs(((xx0 - cx + w // 2) % w) - w // 2) < r))
+            else:
+                dy = ((yy0 - cy + h // 2) % h) - h // 2
+                dx = ((xx0 - cx + w // 2) % w) - w // 2
+                m = dy * dy + dx * dx < r * r
+            tex[m] = 0.7 * tex[m] + 0.3 * col
+        # fine grain (film-like detail)
+        tex = np.clip(tex + 0.03 * rng.standard_normal((h, w, 3)), 0, 1)
+        dx, dy = int(rng.integers(2, 6)), int(rng.integers(1, 4))
+        for i in range(n_frames):
+            img = np.roll(tex, (i * dy, i * dx), axis=(0, 1))
+            imageio.imwrite(os.path.join(d, f"{i:05d}.png"),
+                            (img * 255).astype(np.uint8))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="docs/detector_eval")
@@ -36,13 +83,12 @@ def main():
     p.add_argument("--kernels", type=int, nargs="+", default=[7, 11, 15])
     a = p.parse_args()
 
-    from quality_evidence import make_sharp_videos
     from speinet_tpu.detector.train import collate_synthetic, train_detectors
 
     sharp = os.path.join(a.root, "sharp")
     if not os.path.isdir(sharp):
-        make_sharp_videos(sharp, n_videos=a.n_videos, n_frames=a.n_frames,
-                          h=240, w=320, seed=3)
+        make_detector_videos(sharp, n_videos=a.n_videos, n_frames=a.n_frames,
+                             h=240, w=320, seed=3)
     os.makedirs(a.out, exist_ok=True)
     csv_path = os.path.join(a.out, "output.csv")
     if os.path.exists(csv_path):

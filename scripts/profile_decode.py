@@ -22,8 +22,9 @@ def main():
     cfg = set_template(Config(template="SPEINet")).replace(
         compute_dtype="bfloat16")
     model = SPEINet.from_config(cfg)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 5, 3, 80, 80), jnp.float32))
+    from speinet_tpu.utils.init_cache import cached_init
+    variables = cached_init(model, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 5, 3, 80, 80), jnp.float32))
 
     b = 1
     h4, w4 = 180, 320

@@ -50,8 +50,9 @@ def main():
         compute_dtype="bfloat16")
     model = SPEINet.from_config(cfg)
     rng = np.random.default_rng(0)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 5, 3, 80, 80), jnp.float32))
+    from speinet_tpu.utils.init_cache import cached_init
+    variables = cached_init(model, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 5, 3, 80, 80), jnp.float32))
     h, w = 720, 1280
     h4, w4 = h // 4, w // 4
 

@@ -21,24 +21,54 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_sharp_videos(root, n_videos=4, n_frames=150, h=256, w=320, seed=7):
-    """Synthetic sharp videos: drifting band-limited texture (enough
-    structure for deblurring to be learnable, cheap to synthesize)."""
+def make_sharp_videos(root, n_videos=4, n_frames=150, h=256, w=320, seed=7,
+                      style="lowpass", drift=(2, 5, 1, 4)):
+    """Synthetic sharp videos: drifting texture (enough structure for
+    deblurring to be learnable, cheap to synthesize).
+
+    style="lowpass": band-limited Gaussian field (the round-2 evidence data).
+    style="natural": 1/f spectrum + hard-edged shapes + fine grain — closer
+    to street-scene statistics; deblurring recovers more high-frequency
+    energy, so PSNR gains are larger and more representative of GoPro.
+    drift=(dx_lo, dx_hi, dy_lo, dy_hi): per-video pixel drift per frame is
+    drawn from these ranges; GoPro-like motion blur corresponds to ~1-3
+    px/frame (blur windows of 6-15 frames => 6-45 px smears).
+    """
     import imageio.v2 as imageio
 
     rng = np.random.default_rng(seed)
+    yy0, xx0 = np.mgrid[0:h, 0:w]
     for v in range(n_videos):
         d = os.path.join(root, f"video{v:02d}")
         os.makedirs(d, exist_ok=True)
-        # band-limited random field, periodic -> drift by rolling
+        # random field, periodic -> drift by rolling
         base = rng.standard_normal((h, w, 3))
         f = np.fft.rfft2(base, axes=(0, 1))
         yy = np.fft.fftfreq(h)[:, None, None]
         xx = np.fft.rfftfreq(w)[None, :, None]
-        f *= np.exp(-((yy * 14) ** 2 + (xx * 14) ** 2))
+        if style == "natural":
+            rad = np.sqrt(yy * yy + xx * xx)
+            f *= 1.0 / np.maximum(rad, 1.0 / max(h, w))
+        else:
+            f *= np.exp(-((yy * 14) ** 2 + (xx * 14) ** 2))
         tex = np.fft.irfft2(f, s=(h, w), axes=(0, 1))
         tex = (tex - tex.min()) / (np.ptp(tex) + 1e-9)
-        dx, dy = int(rng.integers(2, 5)), int(rng.integers(1, 4))
+        if style == "natural":
+            for _ in range(12):
+                cy, cx = rng.integers(0, h), rng.integers(0, w)
+                r = int(rng.integers(8, 40))
+                col = rng.random(3)
+                if rng.random() < 0.5:
+                    m = ((np.abs(((yy0 - cy + h // 2) % h) - h // 2) < r)
+                         & (np.abs(((xx0 - cx + w // 2) % w) - w // 2) < r))
+                else:
+                    dyy = ((yy0 - cy + h // 2) % h) - h // 2
+                    dxx = ((xx0 - cx + w // 2) % w) - w // 2
+                    m = dyy * dyy + dxx * dxx < r * r
+                tex[m] = 0.7 * tex[m] + 0.3 * col
+            tex = np.clip(tex + 0.03 * rng.standard_normal((h, w, 3)), 0, 1)
+        dx = int(rng.integers(drift[0], drift[1]))
+        dy = int(rng.integers(drift[2], drift[3]))
         for i in range(n_frames):
             img = np.roll(tex, (i * dy, i * dx), axis=(0, 1))
             imageio.imwrite(os.path.join(d, f"{i:05d}.png"),
@@ -56,6 +86,10 @@ def main():
     p.add_argument("--bn_recalib", type=int, default=8)
     p.add_argument("--n_videos", type=int, default=4)
     p.add_argument("--n_frames", type=int, default=150)
+    p.add_argument("--style", default="lowpass",
+                   choices=["lowpass", "natural"])
+    p.add_argument("--drift", type=int, nargs=4, default=[2, 5, 1, 4],
+                   metavar=("DXLO", "DXHI", "DYLO", "DYHI"))
     p.add_argument("--eval_frames", type=int, default=20)
     p.add_argument("--out", default="docs/quality_evidence")
     p.add_argument("--work", default="/tmp/quality_evidence")
@@ -73,7 +107,9 @@ def main():
     tree = os.path.join(args.work, "rs")
     if not os.path.exists(os.path.join(tree, "blur")):
         print("generating synthetic GoProRS tree...", flush=True)
-        make_sharp_videos(sharp, n_videos=args.n_videos, n_frames=args.n_frames)
+        make_sharp_videos(sharp, n_videos=args.n_videos,
+                          n_frames=args.n_frames, style=args.style,
+                          drift=tuple(args.drift))
         generate_dataset(sharp, tree, ratios=(0.5,), mixed=False, seed=3)
 
     # slim eval tree: first --eval_frames frames of the first video, so the

@@ -22,7 +22,8 @@ def main():
     cfg = set_template(Config(template="SPEINet")).replace(compute_dtype=dtype)
     model = SPEINet.from_config(cfg)
     x_small = jnp.zeros((1, 5, 3, 80, 80), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x_small)
+    from speinet_tpu.utils.init_cache import cached_init
+    variables = cached_init(model, jax.random.PRNGKey(0), x_small)
     h, w = 720, 1280
     f32 = jnp.float32
     sds = lambda *s: jax.ShapeDtypeStruct(s, f32)
