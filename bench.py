@@ -100,7 +100,10 @@ def _run_video_mode(model, variables, frames, batch, h, w, n_iter):
         return model.apply(v, fr, method=SPEINet.anchor_pyramid)
 
     def restore(v, m, n0, n1, p1, p2, p3, hs):
-        return model.apply(v, m, (n0, n1), p1, p2, p3, hs,
+        # routing='sharp': this chunk's has_sharp is all-True and the engine
+        # dispatches the host-known specialization in that case
+        # (infer.py _infer_video_cached; output-identical to 'mixed')
+        return model.apply(v, m, (n0, n1), p1, p2, p3, hs, routing="sharp",
                            method=SPEINet.restore_from_features)
 
     _jl, _ja, _jr = jax.jit(legs), jax.jit(anchor), jax.jit(restore)

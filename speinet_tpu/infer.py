@@ -152,10 +152,20 @@ class Inference:
                 mv(p, b), _c(f), method=SPEINet.encode_window_legs))
             self._jit_anchor = jax.jit(lambda p, b, f: self.model.apply(
                 mv(p, b), f, method=SPEINet.anchor_pyramid))
-            self._jit_restore = jax.jit(
-                lambda p, b, m, n0, n1, p1, p2, p3, hs: self.model.apply(
-                    mv(p, b), _c(m), (_c(n0), _c(n1)), _c(p1), _c(p2),
-                    _c(p3), _c(hs), method=SPEINet.restore_from_features))
+            # one restore program per host-known routing mode (the reference
+            # engine routes host-side too, speinet.py:150-168): an all-sharp
+            # chunk skips the SelfTransfer compute, an all-self chunk skips
+            # the gather_folds; 'mixed' handles any split. Compiled lazily
+            # on first use.
+            self._jit_restore_by_routing = {
+                routing: jax.jit(
+                    lambda p, b, m, n0, n1, p1, p2, p3, hs,
+                    _r=routing: self.model.apply(
+                        mv(p, b), _c(m), (_c(n0), _c(n1)), _c(p1), _c(p2),
+                        _c(p3), _c(hs), routing=_r,
+                        method=SPEINet.restore_from_features))
+                for routing in ("mixed", "sharp", "self")}
+            self._jit_restore = self._jit_restore_by_routing["mixed"]
 
     def _load_weights(self, model_path: str):
         if model_path and os.path.exists(model_path):
@@ -318,9 +328,13 @@ class Inference:
             p1_b = jnp.concatenate([anchors[metas[i][3]][0] for i in idxs])
             p2_b = jnp.concatenate([anchors[metas[i][3]][1] for i in idxs])
             p3_b = jnp.concatenate([anchors[metas[i][3]][2] for i in idxs])
-            hs_b = jnp.asarray(np.array([metas[i][2] for i in idxs], bool))
-            out = self._jit_restore(self.params, self.batch_stats, m_b, n0_b,
-                                    n1_b, p1_b, p2_b, p3_b, hs_b)
+            hs_host = np.array([metas[i][2] for i in idxs], bool)
+            hs_b = jnp.asarray(hs_host)
+            routing = ("sharp" if hs_host.all()
+                       else "self" if not hs_host.any() else "mixed")
+            out = self._jit_restore_by_routing[routing](
+                self.params, self.batch_stats, m_b, n0_b,
+                n1_b, p1_b, p2_b, p3_b, hs_b)
             out.block_until_ready()
             t_fwd = time.time()
             imgs = np.asarray(jnp.transpose(jnp.clip(jnp.round(

@@ -192,6 +192,43 @@ class BasicConv(nn.Module):
         return x
 
 
+class FastConv(nn.Module):
+    """nn.Conv-compatible stride-1 SAME conv (identical param tree:
+    {kernel, bias} with torch-default inits) that dispatches odd k > 1
+    convs to the Pallas shifted-matmul kernel (ops/pallas_conv.py) on TPU
+    inference, with the following ReLU fused into the kernel epilogue.
+    The decode-path 3x3 refinement convs at 32/64 channels
+    (speinet.py:92-120 / model/speinet.py search convs) run at <10% of
+    matmul peak through XLA's conv emitter; the shifted-matmul form with
+    the k*k taps concatenated into one deep-K matmul recovers it. 1x1
+    convs (plain matmuls) and training stay on the XLA lowering."""
+
+    features: int
+    kernel_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, relu: bool = False, train: bool = False):
+        k = self.kernel_size
+        kernel = self.param("kernel", torch_kernel_init,
+                            (k, k, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        from speinet_tpu.models.swinir import _fused_enabled
+
+        if k > 1 and not train and _fused_enabled():
+            from speinet_tpu.ops.pallas_conv import conv2d_mxu
+
+            y = conv2d_mxu(x, kernel.astype(self.dtype), bias, relu=relu,
+                           kcat=True)
+            return y
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (1, 1), [(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias.astype(self.dtype)
+        return nn.relu(y) if relu else y
+
+
 class SEBlock(nn.Module):
     """Channel squeeze-excite (parity: block.py:8-24)."""
 

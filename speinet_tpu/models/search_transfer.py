@@ -106,28 +106,43 @@ class TransferUnit(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, f_fusion, sharp_lv1, sharp_lv2, sharp_lv3, has_sharp):
+    def __call__(self, f_fusion, sharp_lv1, sharp_lv2, sharp_lv3, has_sharp,
+                 routing: str = "mixed"):
+        """`routing` is a STATIC specialization hint the host may pass when
+        it already knows the batch's sharp/self split (the reference engine
+        routes host-side too: speinet.py:150-168 splits the batch into
+        `_forwardb`/`_forwardbs` programs). 'sharp' skips the SelfTransfer
+        compute, 'self' skips the sharp-texture gather_folds; both are
+        output-identical to 'mixed' for batches whose has_sharp matches."""
+        assert routing in ("mixed", "sharp", "self")
         b, hh, ww, c4 = f_fusion.shape
         l = hh * ww
         # NCHW for patch ops
         lr_nchw = f_fusion.transpose(0, 3, 1, 2)
-        sharp3_nchw = sharp_lv3.transpose(0, 3, 1, 2)
 
         lr_unfold = unfold(lr_nchw, 3, 1, 1)                  # [B, D, L]
         lr_n = _l2_normalize(lr_unfold.astype(jnp.float32), axis=1)
-        ref_search_n = _l2_normalize(
-            unfold(sharp3_nchw, 3, 1, 1).astype(jnp.float32), axis=1)
-        # SelfTransfer reference (SearchTransfer.py:60: x.transpose(2,3)
-        # .flip(2)): its 3x3 unfold is an exact permutation of lr_unfold —
-        # swap the kernel axes + flip one, transpose the patch grid + flip
-        # one axis — so no second unfold pass is needed, and because
-        # L2-normalization is per-patch it commutes with the permutation.
-        # All-reshape/transpose/flip: XLA fuses it into the select below.
-        lr6 = lr_n.reshape(b, c4, 3, 3, hh, ww)
-        ref_self_n = jnp.flip(lr6.transpose(0, 1, 3, 2, 5, 4),
-                              axis=(2, 4)).reshape(b, c4 * 9, l)
-        sel = has_sharp[:, None, None]
-        ref_n = jnp.where(sel, ref_search_n, ref_self_n).transpose(0, 2, 1)
+        if routing != "sharp":
+            # SelfTransfer reference (SearchTransfer.py:60: x.transpose(2,3)
+            # .flip(2)): its 3x3 unfold is an exact permutation of lr_unfold —
+            # swap the kernel axes + flip one, transpose the patch grid + flip
+            # one axis — so no second unfold pass is needed, and because
+            # L2-normalization is per-patch it commutes with the permutation.
+            # All-reshape/transpose/flip: XLA fuses it into the select below.
+            lr6 = lr_n.reshape(b, c4, 3, 3, hh, ww)
+            ref_self_n = jnp.flip(lr6.transpose(0, 1, 3, 2, 5, 4),
+                                  axis=(2, 4)).reshape(b, c4 * 9, l)
+        if routing != "self":
+            sharp3_nchw = sharp_lv3.transpose(0, 3, 1, 2)
+            ref_search_n = _l2_normalize(
+                unfold(sharp3_nchw, 3, 1, 1).astype(jnp.float32), axis=1)
+        if routing == "sharp":
+            ref_n = ref_search_n.transpose(0, 2, 1)
+        elif routing == "self":
+            ref_n = ref_self_n.transpose(0, 2, 1)
+        else:
+            sel = has_sharp[:, None, None]
+            ref_n = jnp.where(sel, ref_search_n, ref_self_n).transpose(0, 2, 1)
         from speinet_tpu.models.swinir import _fused_enabled
 
         if self.use_pallas and _fused_enabled():
@@ -143,27 +158,34 @@ class TransferUnit(nn.Module):
 
         weight_s = s.reshape(b, hh, ww, 1)
 
-        # --- SearchTransfer texture path: gather+fold of the sharp pyramid
-        # (NHWC throughout; bf16 when the model runs bf16)
-        t3_search = gather_fold_nhwc(sharp_lv3, idx, 1) / 9.0
-        t2_search = gather_fold_nhwc(sharp_lv2, idx, 2) / 9.0
-        t1_search = gather_fold_nhwc(sharp_lv1, idx, 4) / 9.0
+        if routing != "self":
+            # --- SearchTransfer texture path: gather+fold of the sharp
+            # pyramid (NHWC throughout; bf16 when the model runs bf16)
+            t3_search = gather_fold_nhwc(sharp_lv3, idx, 1) / 9.0
+            t2_search = gather_fold_nhwc(sharp_lv2, idx, 2) / 9.0
+            t1_search = gather_fold_nhwc(sharp_lv1, idx, 4) / 9.0
 
-        # --- SelfTransfer texture path (SearchTransfer.py:72-76)
-        t3_self = f_fusion
-        up2 = bicubic_upsample_nhwc(f_fusion, 2)   # NHWC in place, f32 taps
-        from speinet_tpu.models.blocks import torch_kernel_init
-        t2_self = nn.relu(nn.Conv(self.n_feat * 2, (1, 1), dtype=self.dtype,
-                                  kernel_init=torch_kernel_init,
-                                  name="self_search1")(up2.astype(self.dtype)))
-        up4 = bicubic_upsample_nhwc(t2_self, 2)
-        t1_self = nn.relu(nn.Conv(self.n_feat, (1, 1), dtype=self.dtype,
-                                  kernel_init=torch_kernel_init,
-                                  name="self_search2")(up4.astype(self.dtype)))
+        if routing != "sharp":
+            # --- SelfTransfer texture path (SearchTransfer.py:72-76)
+            t3_self = f_fusion
+            up2 = bicubic_upsample_nhwc(f_fusion, 2)  # NHWC in place, f32 taps
+            from speinet_tpu.models.blocks import torch_kernel_init
+            t2_self = nn.relu(nn.Conv(self.n_feat * 2, (1, 1), dtype=self.dtype,
+                                      kernel_init=torch_kernel_init,
+                                      name="self_search1")(up2.astype(self.dtype)))
+            up4 = bicubic_upsample_nhwc(t2_self, 2)
+            t1_self = nn.relu(nn.Conv(self.n_feat, (1, 1), dtype=self.dtype,
+                                      kernel_init=torch_kernel_init,
+                                      name="self_search2")(up4.astype(self.dtype)))
 
-        sel4 = has_sharp[:, None, None, None]
-        t_lv3 = jnp.where(sel4, t3_search, t3_self)
-        t_lv2 = jnp.where(sel4, t2_search, t2_self)
-        t_lv1 = jnp.where(sel4, t1_search, t1_self)
+        if routing == "sharp":
+            t_lv3, t_lv2, t_lv1 = t3_search, t2_search, t1_search
+        elif routing == "self":
+            t_lv3, t_lv2, t_lv1 = t3_self, t2_self, t1_self
+        else:
+            sel4 = has_sharp[:, None, None, None]
+            t_lv3 = jnp.where(sel4, t3_search, t3_self)
+            t_lv2 = jnp.where(sel4, t2_search, t2_self)
+            t_lv1 = jnp.where(sel4, t1_search, t1_self)
         return weight_s, t_lv3.astype(self.dtype), t_lv2.astype(self.dtype), \
             t_lv1.astype(self.dtype)

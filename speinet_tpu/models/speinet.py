@@ -182,14 +182,17 @@ class SPEINet(nn.Module):
 
     def restore_from_features(self, f_mid, neighbor_feats, sharp_lv1,
                               sharp_lv2, sharp_lv3, has_sharp,
-                              train: bool = False):
+                              train: bool = False, routing: str = "mixed"):
         """Fusion + transfer + decode from precomputed features; the tail
-        of __call__ after the encoder legs."""
+        of __call__ after the encoder legs. `routing` is the static
+        host-known specialization of the batch's sharp/self split (see
+        TransferUnit.__call__); 'mixed' handles any batch."""
         deterministic = not train
         f_fusion = self._fuse(f_mid, list(neighbor_feats), deterministic)
         f_fusion = self.fusion(f_fusion)
         weight_s, t_lv3, t_lv2, t_lv1 = self.transfer(
-            f_fusion, sharp_lv1, sharp_lv2, sharp_lv3, has_sharp)
+            f_fusion, sharp_lv1, sharp_lv2, sharp_lv3, has_sharp,
+            routing=routing)
         out = self._decode(f_fusion, weight_s.astype(self.dtype), t_lv3,
                            t_lv2, t_lv1, train)
         return out.transpose(0, 3, 1, 2).astype(jnp.float32)

@@ -207,3 +207,33 @@ def test_cached_feature_decomposition_matches_call(tiny_model_and_params, rng):
         pick(p1, 4), pick(p2, 4), pick(p3, 4), has_sharp,
         method=SPEINet.restore_from_features))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_restore_routing_specializations_match_mixed(tiny_model_and_params,
+                                                     rng):
+    """The static host-known routing programs ('sharp'/'self') are
+    output-identical to the 'mixed' program on batches whose has_sharp
+    matches — the contract the cached engine (infer._infer_video_cached)
+    and bench.py rely on when dispatching per-chunk."""
+    model, variables = tiny_model_and_params
+    x = smooth_video(rng, b=2)
+    xj = jnp.asarray(x)
+    frames = xj.reshape(-1, 3, 40, 40)
+    m_all, n_all = model.apply(variables, frames,
+                               method=SPEINet.encode_window_legs)
+    p1, p2, p3 = model.apply(variables, frames,
+                             method=SPEINet.anchor_pyramid)
+    pick = lambda a, i: jnp.asarray(np.asarray(a).reshape(2, 5, *a.shape[1:])[:, i])
+    m = jnp.asarray(np.asarray(m_all).reshape(2, 5, *m_all.shape[1:])[:, 1])
+    nbs = (jnp.asarray(np.asarray(n_all).reshape(2, 5, *n_all.shape[1:])[:, 0]),
+           jnp.asarray(np.asarray(n_all).reshape(2, 5, *n_all.shape[1:])[:, 2]))
+    args = (m, nbs, pick(p1, 4), pick(p2, 4), pick(p3, 4))
+
+    for hs_val, routing in [(True, "sharp"), (False, "self")]:
+        hs = jnp.full((2,), hs_val, bool)
+        want = np.asarray(model.apply(variables, *args, hs,
+                                      method=SPEINet.restore_from_features))
+        got = np.asarray(model.apply(variables, *args, hs, routing=routing,
+                                     method=SPEINet.restore_from_features))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"routing={routing}")
