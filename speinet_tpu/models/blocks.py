@@ -217,7 +217,13 @@ class FastConv(nn.Module):
         x = x.astype(self.dtype)
         from speinet_tpu.models.swinir import _fused_enabled
 
-        if k > 1 and not train and _fused_enabled():
+        # the Pallas path pads a private copy of x (row blocks + halo), so
+        # cap it by input size: at 720p x batch 8 the three full-res
+        # refinement convs would transiently add ~3 GB of padded copies and
+        # OOM the 16 GB HBM; the >=half-res maps (search3 at lv2) fit
+        b, hh, ww, c = x.shape
+        fits = b * hh * ww * c * x.dtype.itemsize <= (256 << 20)
+        if k > 1 and not train and fits and _fused_enabled():
             from speinet_tpu.ops.pallas_conv import conv2d_mxu
 
             y = conv2d_mxu(x, kernel.astype(self.dtype), bias, relu=relu,

@@ -87,6 +87,7 @@ class SPEINet(nn.Module):
         self.transfer = TransferUnit(n_feat=f, chunk=self.corr_chunk, dtype=d)
         # fusion / refinement convs (speinet.py:55-66); torch-default
         # kernel init (see blocks.torch_kernel_init)
+        from speinet_tpu.models.blocks import FastConv
         from speinet_tpu.models.blocks import torch_kernel_init as tki
         conv = lambda feats, k: nn.Conv(feats, (k, k), padding=k // 2,
                                         kernel_init=tki, dtype=d)
@@ -94,11 +95,14 @@ class SPEINet(nn.Module):
         self.conv_lv2 = conv(f * 2, 1)
         self.conv_lv3 = conv(f * 4, 1)
         self.fusion = conv(f * 4, 1)
-        self.search3 = conv(f * 2, 3)
+        # the 3x3 refinement convs run at 32/64 channels on 720p/360p maps —
+        # FastConv (same param tree) routes them through the Pallas
+        # shifted-matmul kernel with the ReLU fused at inference
+        self.search3 = FastConv(f * 2, 3, dtype=d)
         self.search2 = conv(f * 2, 1)
         self.search1 = conv(f * 2, 1)
-        self.search43 = conv(f, 3)
-        self.search33 = conv(f, 3)
+        self.search43 = FastConv(f, 3, dtype=d)
+        self.search33 = FastConv(f, 3, dtype=d)
         self.search23 = conv(f, 1)   # defined, unused (parity)
         self.search13 = conv(f, 1)
 
@@ -129,7 +133,7 @@ class SPEINet(nn.Module):
 
         search_1 = _up2(f_lv3, 2).astype(f_lv3.dtype)
         search_1 = nn.relu(self.search1(search_1))
-        search_2 = nn.relu(self.search3(f_lv2))
+        search_2 = self.search3(f_lv2, relu=True, train=train)
         search_11 = nn.relu(self.search2(jnp.concatenate([decoder_v2, search_1], -1)))
         search_22 = nn.relu(self.search2(jnp.concatenate([f_lv2, search_2], -1)))
         f_v3 = decoder_v2 + search_11
@@ -141,11 +145,15 @@ class SPEINet(nn.Module):
         f_lv1 = decoder_v1 + f_v1
 
         search_13 = nn.relu(self.search13(_up2(f_v3, 2).astype(f_v3.dtype)))
-        search_23 = nn.relu(self.search33(_up2(f_lv2, 2).astype(f_lv2.dtype)))
-        search_33 = nn.relu(self.search43(f_lv1))
-        search_113 = nn.relu(self.search33(jnp.concatenate([search_13, search_23], -1)))
-        search_223 = nn.relu(self.search33(jnp.concatenate([search_13, search_33], -1)))
-        search_323 = nn.relu(self.search33(jnp.concatenate([search_23, search_33], -1)))
+        search_23 = self.search33(_up2(f_lv2, 2).astype(f_lv2.dtype),
+                                  relu=True, train=train)
+        search_33 = self.search43(f_lv1, relu=True, train=train)
+        search_113 = self.search33(jnp.concatenate([search_13, search_23], -1),
+                                   relu=True, train=train)
+        search_223 = self.search33(jnp.concatenate([search_13, search_33], -1),
+                                   relu=True, train=train)
+        search_323 = self.search33(jnp.concatenate([search_23, search_33], -1),
+                                   relu=True, train=train)
         f_lv1 = f_lv1 + search_113 + search_223 + search_323
         return r.out_block(f_lv1, train=train)
 

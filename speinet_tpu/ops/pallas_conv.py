@@ -33,9 +33,13 @@ def _conv_kernel(x0_ref, x1_ref, w_ref, b_ref, o_ref, *, k: int, tr: int,
         # gather the k*k shifted taps along the channel axis and contract
         # them in ONE deep-K MXU matmul ([tr*W, k*k*C] x [k*k*C, Co]) —
         # k*k small serialized matmuls leave the MXU latency-bound
-        slabs = [full[dy : dy + tr, dx : dx + w_out, :]
+        # reshape each slab to 2D before the channel concat: the dy/dx
+        # shifts leave each slice with a different sublane/lane offset and
+        # Mosaic cannot concatenate mismatched-offset layouts directly
+        # ("result/input offset mismatch on non-concat dimension")
+        slabs = [full[dy : dy + tr, dx : dx + w_out, :].reshape(tr * w_out, c)
                  for dy in range(k) for dx in range(k)]
-        m = jnp.concatenate(slabs, axis=-1).reshape(tr * w_out, k * k * c)
+        m = jnp.concatenate(slabs, axis=-1)
         acc = jnp.dot(m, w_ref[:].reshape(k * k * c, -1),
                       preferred_element_type=jnp.float32)
     else:
@@ -54,17 +58,21 @@ def _conv_kernel(x0_ref, x1_ref, w_ref, b_ref, o_ref, *, k: int, tr: int,
 
 
 def conv2d_mxu(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None,
-               relu: bool = False, tr: int | None = None) -> jnp.ndarray:
+               relu: bool = False, tr: int | None = None,
+               kcat: bool | None = None) -> jnp.ndarray:
     """NHWC stride-1 SAME conv (odd k), bias + optional ReLU fused.
 
     x: [B, H, W, C]; w: [k, k, C, Co]; bias: [Co] or None.
+    kcat=True contracts all k*k taps in one deep-K matmul (best for the
+    small-C decode-path convs); None reads the SPEINET_CONV_KCAT env knob.
     Returns [B, H, W, Co] in x.dtype (f32 accumulation).
     """
     import os
 
     if tr is None:
         tr = int(os.environ.get("SPEINET_CONV_TR", "8"))
-    kcat = os.environ.get("SPEINET_CONV_KCAT", "0") == "1"
+    if kcat is None:
+        kcat = os.environ.get("SPEINET_CONV_KCAT", "0") == "1"
     b, h, w_in, c = x.shape
     k = w.shape[0]
     co = w.shape[3]
