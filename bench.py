@@ -112,7 +112,7 @@ def _run_video_mode(model, variables, frames, batch, h, w, n_iter):
     hs = jnp.ones((batch,), bool)
 
     precompile_t0 = time.time()
-    if os.environ.get("BENCH_AOT", "0") == "1":
+    if os.environ.get("BENCH_AOT", "1") == "1":
         # disk-serialized executables sidestep the per-process compile-cache
         # key miss on this relay (utils/aot_cache.py); fail-open — any
         # serialize/deserialize error just recompiles via plain jit
