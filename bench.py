@@ -188,7 +188,18 @@ def _run_direct_mode(model, variables, frames, batch, h, w, n_iter):
         inp = inp.at[:, 1].add(prev * 1e-4)
         return model.apply(v, inp, train=False)
 
-    _fwd = jax.jit(step)
+    # no AOT here: measured 48.5 s to deserialize+load the single 110 MB
+    # direct executable vs 36.9 s to compile it — the executable upload
+    # over the relay dominates for this one-big-program case, while the
+    # three smaller video-mode programs win big (71.4 -> 13.5 s)
+    if os.environ.get("BENCH_AOT_DIRECT", "0") == "1":
+        from speinet_tpu.utils.aot_cache import aot_cached, code_version
+
+        prev0 = jax.ShapeDtypeStruct((batch, 3, h, w), jnp.float32)
+        _fwd = aot_cached(step, (variables, x, prev0),
+                          tag=f"bench-direct-{code_version()}-{batch}x{h}x{w}")
+    else:
+        _fwd = jax.jit(step)
     fwd = lambda prev: _fwd(variables, x, prev)
     dt, compile_time, cache_state = _timed_chain(
         fwd, jnp.zeros((batch, 3, h, w), jnp.float32), n_iter)
