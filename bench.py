@@ -118,7 +118,14 @@ def _run_video_mode(model, variables, frames, batch, h, w, n_iter):
         # serialize/deserialize error just recompiles via plain jit
         from speinet_tpu.utils.aot_cache import aot_cached, code_version
 
-        ver = f"{code_version()}-{batch}x{h}x{w}"
+        # fold the kernel-selection env knobs into the key — the traced
+        # program depends on them, the code hash alone does not
+        knobs = ",".join(f"{k}={os.environ.get(k, '')}" for k in
+                         ("SPEINET_CONV_TR", "SPEINET_CONV_KCAT",
+                          "SPEINET_SWIN_G", "SPEINET_SWIN_S",
+                          "SPEINET_SWIN_R", "SPEINET_SWIN_FUSEBLOCK",
+                          "SPEINET_NO_FUSED", "BENCH_SHARP_RATIO"))
+        ver = f"{code_version()}-{batch}x{h}x{w}-{knobs}"
         _jl = aot_cached(legs, (variables, base), tag=f"bench-legs-{ver}")
         _ja = aot_cached(anchor, (variables, anchor_in),
                          tag=f"bench-anchor-{ver}")
