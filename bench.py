@@ -38,6 +38,31 @@ BASELINE_FPS = 1.0 / 1.21  # results/GoProRs/SPEINet/speinet_0.5 forward_time
 _COLD_ENTRY_BYTES = 1 << 20
 
 
+def _aot_ver(batch: int, h: int, w: int) -> str:
+    """AOT-cache key shared by the video and direct modes: package code
+    hash + a hash of THIS file (bench.py wrappers are part of the traced
+    program) + compile-relevant env (XLA_FLAGS) + every kernel-selection
+    env knob the traced program dispatches on (ADVICE r3: the direct tag
+    omitted the knobs; code_version() omitted bench.py and XLA_FLAGS)."""
+    import hashlib
+
+    from speinet_tpu.utils.aot_cache import code_version
+
+    knobs = ",".join(f"{k}={os.environ.get(k, '')}" for k in
+                     ("SPEINET_CONV_TR", "SPEINET_CONV_KCAT",
+                      "SPEINET_SWIN_G", "SPEINET_SWIN_S",
+                      "SPEINET_SWIN_R", "SPEINET_SWIN_FUSEBLOCK",
+                      "SPEINET_SWIN_COMPACT", "SPEINET_SWIN_GW",
+                      "SPEINET_SWIN_QH", "SPEINET_MLP_TL",
+                      "SPEINET_NO_FUSED", "BENCH_SHARP_RATIO"))
+    h_self = hashlib.sha256()
+    with open(os.path.abspath(__file__), "rb") as f:
+        h_self.update(f.read())
+    h_self.update(os.environ.get("XLA_FLAGS", "").encode())
+    return (f"{code_version()}-{h_self.hexdigest()[:10]}"
+            f"-{batch}x{h}x{w}-{knobs}")
+
+
 def _cache_files(cache_dir):
     if not (cache_dir and os.path.isdir(cache_dir)):
         return set()
@@ -116,16 +141,9 @@ def _run_video_mode(model, variables, frames, batch, h, w, n_iter):
         # disk-serialized executables sidestep the per-process compile-cache
         # key miss on this relay (utils/aot_cache.py); fail-open — any
         # serialize/deserialize error just recompiles via plain jit
-        from speinet_tpu.utils.aot_cache import aot_cached, code_version
+        from speinet_tpu.utils.aot_cache import aot_cached
 
-        # fold the kernel-selection env knobs into the key — the traced
-        # program depends on them, the code hash alone does not
-        knobs = ",".join(f"{k}={os.environ.get(k, '')}" for k in
-                         ("SPEINET_CONV_TR", "SPEINET_CONV_KCAT",
-                          "SPEINET_SWIN_G", "SPEINET_SWIN_S",
-                          "SPEINET_SWIN_R", "SPEINET_SWIN_FUSEBLOCK",
-                          "SPEINET_NO_FUSED", "BENCH_SHARP_RATIO"))
-        ver = f"{code_version()}-{batch}x{h}x{w}-{knobs}"
+        ver = _aot_ver(batch, h, w)
         _jl = aot_cached(legs, (variables, base), tag=f"bench-legs-{ver}")
         _ja = aot_cached(anchor, (variables, anchor_in),
                          tag=f"bench-anchor-{ver}")
@@ -200,11 +218,11 @@ def _run_direct_mode(model, variables, frames, batch, h, w, n_iter):
     # over the relay dominates for this one-big-program case, while the
     # three smaller video-mode programs win big (71.4 -> 13.5 s)
     if os.environ.get("BENCH_AOT_DIRECT", "0") == "1":
-        from speinet_tpu.utils.aot_cache import aot_cached, code_version
+        from speinet_tpu.utils.aot_cache import aot_cached
 
         prev0 = jax.ShapeDtypeStruct((batch, 3, h, w), jnp.float32)
         _fwd = aot_cached(step, (variables, x, prev0),
-                          tag=f"bench-direct-{code_version()}-{batch}x{h}x{w}")
+                          tag=f"bench-direct-{_aot_ver(batch, h, w)}")
     else:
         _fwd = jax.jit(step)
     fwd = lambda prev: _fwd(variables, x, prev)

@@ -57,18 +57,40 @@ def main():
 
     combos = [
         ("split G8 (r2 default)", {"SPEINET_SWIN_FUSEBLOCK": "0",
-                                   "SPEINET_SWIN_G": "8"}),
-        ("block S2 G8", {"SPEINET_SWIN_G": "8"}),
-        ("block S1 G8", {"SPEINET_SWIN_G": "8", "SPEINET_SWIN_S": "1"}),
-        ("block S2 G4", {"SPEINET_SWIN_G": "4"}),
-        ("block S4 G8", {"SPEINET_SWIN_G": "8", "SPEINET_SWIN_S": "4"}),
-        ("block S2 G16", {"SPEINET_SWIN_G": "16"}),
+                                   "SPEINET_SWIN_G": "8",
+                                   "SPEINET_SWIN_COMPACT": "0"}),
+        ("block S2 G8", {"SPEINET_SWIN_G": "8",
+                         "SPEINET_SWIN_COMPACT": "0"}),
+        ("block S1 G8", {"SPEINET_SWIN_G": "8", "SPEINET_SWIN_S": "1",
+                         "SPEINET_SWIN_COMPACT": "0"}),
+        ("block S2 G4", {"SPEINET_SWIN_G": "4",
+                         "SPEINET_SWIN_COMPACT": "0"}),
+        ("block S4 G8", {"SPEINET_SWIN_G": "8", "SPEINET_SWIN_S": "4",
+                         "SPEINET_SWIN_COMPACT": "0"}),
+        ("block S2 G16", {"SPEINET_SWIN_G": "16",
+                          "SPEINET_SWIN_COMPACT": "0"}),
+        ("compact S2 G8 GW4 QH4", {"SPEINET_SWIN_G": "8"}),
+        ("compact S2 G8 GW2 QH4", {"SPEINET_SWIN_G": "8",
+                                   "SPEINET_SWIN_GW": "2"}),
+        ("compact S2 G8 GW8 QH4", {"SPEINET_SWIN_G": "8",
+                                   "SPEINET_SWIN_GW": "8"}),
+        ("compact S2 G8 GW4 QH2", {"SPEINET_SWIN_G": "8",
+                                   "SPEINET_SWIN_QH": "2"}),
+        ("compact S2 G8 GW4 QH8", {"SPEINET_SWIN_G": "8",
+                                   "SPEINET_SWIN_QH": "8"}),
+        ("compact S4 G8 GW4 QH4", {"SPEINET_SWIN_G": "8",
+                                   "SPEINET_SWIN_S": "4"}),
+        ("compact S2 G16 GW4 QH4", {"SPEINET_SWIN_G": "16"}),
+        ("compact S1 G8 GW4 QH4", {"SPEINET_SWIN_G": "8",
+                                   "SPEINET_SWIN_S": "1"}),
     ]
     if len(sys.argv) > 2:
         combos = [cc for cc in combos if any(s in cc[0] for s in sys.argv[2:])]
     for name, env in combos:
         for k in ("SPEINET_SWIN_G", "SPEINET_SWIN_R", "SPEINET_SWIN_S",
-                  "SPEINET_SWIN_WIDE", "SPEINET_SWIN_FUSEBLOCK"):
+                  "SPEINET_SWIN_WIDE", "SPEINET_SWIN_FUSEBLOCK",
+                  "SPEINET_SWIN_COMPACT", "SPEINET_SWIN_GW",
+                  "SPEINET_SWIN_QH"):
             os.environ.pop(k, None)
         os.environ.update(env)
         for tag, blk, vv in (("W", block_w, variables_w),

@@ -329,16 +329,16 @@ def torch_hem_loss(out, gt, rng):
     return torch.nn.functional.l1_loss(out * mask, gt * mask)
 
 
-def phase_torch(root: str, out_json: str, eval_every: int):
+def phase_torch(root: str, out_json: str, eval_every: int, seed: int = SEED):
     import torch
 
-    torch.manual_seed(SEED)
+    torch.manual_seed(seed)
     cfg = build_cfg()
     model = build_torch_model()
     n_par = sum(p.numel() for p in model.parameters())
     print(f"torch reference replica: {n_par/1e6:.2f} M params", flush=True)
     opt = torch.optim.Adam(model.parameters(), lr=LR)
-    hem_rng = np.random.RandomState(SEED)
+    hem_rng = np.random.RandomState(seed)
     ev_in, ev_gt = eval_windows(root, cfg)
     ev_in_t = torch.from_numpy(ev_in)
     curve, t0 = [], time.time()
@@ -377,7 +377,7 @@ def phase_torch(root: str, out_json: str, eval_every: int):
         evaluate(step + 1)
 
 
-def phase_jax(root: str, out_json: str, eval_every: int):
+def phase_jax(root: str, out_json: str, eval_every: int, seed: int = SEED):
     import jax
     import jax.numpy as jnp
 
@@ -392,12 +392,12 @@ def phase_jax(root: str, out_json: str, eval_every: int):
     model = SPEINet.from_config(cfg)
     ev_in, ev_gt = eval_windows(root, cfg)
     sample = jnp.zeros((BATCH, 5, 3, PATCH, PATCH), jnp.float32)
-    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(SEED), sample)
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(seed), sample)
     n_par = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"jax model: {n_par/1e6:.2f} M params", flush=True)
     train_step = make_train_step(cfg, model, tx, mesh=None)
     eval_step = make_eval_step(model)
-    rng = jax.random.PRNGKey(SEED + 2)
+    rng = jax.random.PRNGKey(seed + 2)
     curve, t0 = [], time.time()
 
     def evaluate(step):
@@ -429,12 +429,19 @@ def phase_jax(root: str, out_json: str, eval_every: int):
 
 
 def phase_report(root: str, out_md: str):
-    rows = {}
-    for name in ("torch", "jax"):
-        path = os.path.join(root, f"curve_{name}.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                rows[name] = json.load(f)
+    """Aggregate every curve_{torch,jax}*.json under root (multi-seed)."""
+    import glob as _glob
+    import re as _re
+
+    rows = {}   # (framework, seed) -> record
+    for path in sorted(_glob.glob(os.path.join(root, "curve_*.json"))):
+        m = _re.match(r"curve_(torch|jax)(?:_s(\d+))?\.json",
+                      os.path.basename(path))
+        if not m:
+            continue
+        with open(path) as f:
+            rows[(m.group(1), int(m.group(2) or SEED))] = json.load(f)
+    keys = sorted(rows, key=lambda k: (k[0] != "torch", k[1]))
     with open(out_md, "w") as f:
         f.write("# Head-to-head: reference architecture (torch) vs "
                 "speinet_tpu\n\n")
@@ -443,18 +450,21 @@ def phase_report(root: str, out_md: str):
                 f"(n_feat={N_FEAT}, n_resblock={N_RES}, embed={EMBED}, "
                 f"depths={list(DEPTHS)}, ws={WS}, patch={PATCH}, "
                 f"batch={BATCH}, Adam lr={LR}, loss 1*L1+2*HEM). "
-                "Eval: PSNR shave=4 on the same fixed eval windows.\n\n")
-        f.write("| step | torch ref PSNR | speinet_tpu PSNR |\n|---|---|---|\n")
+                "Eval: PSNR shave=4 on the same fixed eval windows. "
+                "Seeds vary model init + HEM sampling only; the data/batch "
+                "sequence is shared.\n\n")
+        header = " | ".join(f"{fw} s{sd}" for fw, sd in keys)
+        f.write(f"| step | {header} |\n|---|{'---|' * len(keys)}\n")
         steps = sorted({c["step"] for r in rows.values() for c in r["curve"]})
         for s in steps:
             cells = []
-            for name in ("torch", "jax"):
-                v = next((c["psnr"] for c in rows.get(name, {}).get("curve", [])
+            for k in keys:
+                v = next((c["psnr"] for c in rows[k]["curve"]
                           if c["step"] == s), None)
                 cells.append(f"{v:.3f}" if v is not None else "—")
-            f.write(f"| {s} | {cells[0]} | {cells[1]} |\n")
-        for name, r in rows.items():
-            f.write(f"\n{name}: {r['params_m']:.2f} M params, final "
+            f.write(f"| {s} | {' | '.join(cells)} |\n")
+        for (fw, sd), r in [(k, rows[k]) for k in keys]:
+            f.write(f"\n{fw} s{sd}: {r['params_m']:.2f} M params, final "
                     f"{r['curve'][-1]['psnr']:.3f} dB at step "
                     f"{r['curve'][-1]['step']} "
                     f"({r['curve'][-1]['wall_s']:.0f}s wall)\n")
@@ -468,15 +478,19 @@ def main():
     p.add_argument("--root", default="/tmp/head_to_head")
     p.add_argument("--steps", type=int, default=600)
     p.add_argument("--eval_every", type=int, default=100)
+    p.add_argument("--seed", type=int, default=SEED,
+                   help="model-init/HEM seed (data plan stays fixed)")
     p.add_argument("--out", default="docs/quality_evidence/head_to_head.md")
     a = p.parse_args()
+    suff = "" if a.seed == SEED else f"_s{a.seed}"
     if a.phase == "gen":
         phase_gen(a.root, a.steps)
     elif a.phase == "torch":
-        phase_torch(a.root, os.path.join(a.root, "curve_torch.json"),
-                    a.eval_every)
+        phase_torch(a.root, os.path.join(a.root, f"curve_torch{suff}.json"),
+                    a.eval_every, a.seed)
     elif a.phase == "jax":
-        phase_jax(a.root, os.path.join(a.root, "curve_jax.json"), a.eval_every)
+        phase_jax(a.root, os.path.join(a.root, f"curve_jax{suff}.json"),
+                  a.eval_every, a.seed)
     else:
         phase_report(a.root, a.out)
 

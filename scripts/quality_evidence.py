@@ -91,6 +91,8 @@ def main():
     p.add_argument("--drift", type=int, nargs=4, default=[2, 5, 1, 4],
                    metavar=("DXLO", "DXHI", "DYLO", "DYHI"))
     p.add_argument("--eval_frames", type=int, default=20)
+    p.add_argument("--lr_decay", type=int, default=None,
+                   help="StepLR period in epochs (template default 150)")
     p.add_argument("--out", default="docs/quality_evidence")
     p.add_argument("--work", default="/tmp/quality_evidence")
     args = p.parse_args()
@@ -149,11 +151,16 @@ def main():
         "--n_frames_per_video", str(per_video), "--print_every", "20",
         "--save_images", "false",
         "--bn_recalib", str(args.bn_recalib),
+        # preload the (tiny) tree into RAM: on a single-core host the
+        # per-step PNG decode otherwise dominates the TPU step time
+        "--process", "true",
     ]
     if args.resume:
         train_args += ["--load", "run", "--resume", "true"]
     if args.lr is not None:
         train_args += ["--lr", repr(args.lr)]
+    if args.lr_decay is not None:
+        train_args += ["--lr_decay", str(args.lr_decay)]
     train_main(train_args)
     train_sec = time.time() - t0
     print(f"train wall: {train_sec:.0f}s", flush=True)

@@ -43,9 +43,11 @@ Dtype = Any
 # both ReLU and sigmoid) stable at initialization: flax's lecun_normal is
 # sqrt(3)x wider, which compounds through ~15 gated ResBlocks into a
 # numerically exploding forward pass at init. Bias init: torch uses
-# U(+-1/sqrt(fan_in)); layers built through `ConvParams` /
-# `ConvTransposeTorch` reproduce it, plain nn.Conv layers keep zero bias
-# (|b| <= 0.06 — irrelevant to dynamics, documented deviation).
+# U(+-1/sqrt(fan_in)); every conv layer reproduces it — ConvParams /
+# ConvTransposeTorch natively, plain nn.Conv sites via an explicit
+# bias_init=torch_bias_init(k*k*in_ch) (the zero-bias deviation that round
+# 3 documented was removed after the head-to-head early-convergence gap
+# pointed at it; see docs/quality_evidence/head_to_head.md).
 torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
                                                      "uniform")
 
@@ -212,7 +214,7 @@ class FastConv(nn.Module):
         k = self.kernel_size
         kernel = self.param("kernel", torch_kernel_init,
                             (k, k, x.shape[-1], self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros_init(),
+        bias = self.param("bias", torch_bias_init(k * k * x.shape[-1]),
                           (self.features,), jnp.float32)
         x = x.astype(self.dtype)
         from speinet_tpu.models.swinir import _fused_enabled
@@ -226,8 +228,12 @@ class FastConv(nn.Module):
         if k > 1 and not train and fits and _fused_enabled():
             from speinet_tpu.ops.pallas_conv import conv2d_mxu
 
-            y = conv2d_mxu(x, kernel.astype(self.dtype), bias, relu=relu,
-                           kcat=True)
+            # bias pre-rounded to self.dtype so the f32 epilogue add and the
+            # XLA fallback's self.dtype add see the same bias values across
+            # the size-gated dispatch (ADVICE r3)
+            y = conv2d_mxu(x, kernel.astype(self.dtype),
+                           bias.astype(self.dtype).astype(jnp.float32),
+                           relu=relu, kcat=True)
             return y
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(self.dtype), (1, 1), [(k // 2, k // 2)] * 2,

@@ -165,17 +165,28 @@ class TransferUnit(nn.Module):
             t2_search = gather_fold_nhwc(sharp_lv2, idx, 2) / 9.0
             t1_search = gather_fold_nhwc(sharp_lv1, idx, 4) / 9.0
 
+        # routing='sharp' skips the SelfTransfer branch, so an init trace
+        # driven through it would silently create a param tree WITHOUT the
+        # self_search convs and break later 'mixed'/'self' applies
+        # (ADVICE r3); every init path must trace routing='mixed'
+        if self.is_initializing() and routing == "sharp":
+            raise ValueError(
+                "TransferUnit must be initialized with routing='mixed' "
+                "(or 'self') so the self_search conv params are created; "
+                "routing='sharp' is an inference-time specialization only")
         if routing != "sharp":
             # --- SelfTransfer texture path (SearchTransfer.py:72-76)
             t3_self = f_fusion
             up2 = bicubic_upsample_nhwc(f_fusion, 2)  # NHWC in place, f32 taps
-            from speinet_tpu.models.blocks import torch_kernel_init
+            from speinet_tpu.models.blocks import torch_bias_init, torch_kernel_init
             t2_self = nn.relu(nn.Conv(self.n_feat * 2, (1, 1), dtype=self.dtype,
                                       kernel_init=torch_kernel_init,
+                                      bias_init=torch_bias_init(self.n_feat * 4),
                                       name="self_search1")(up2.astype(self.dtype)))
             up4 = bicubic_upsample_nhwc(t2_self, 2)
             t1_self = nn.relu(nn.Conv(self.n_feat, (1, 1), dtype=self.dtype,
                                       kernel_init=torch_kernel_init,
+                                      bias_init=torch_bias_init(self.n_feat * 2),
                                       name="self_search2")(up4.astype(self.dtype)))
 
         if routing == "sharp":

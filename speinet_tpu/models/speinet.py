@@ -88,23 +88,30 @@ class SPEINet(nn.Module):
         # fusion / refinement convs (speinet.py:55-66); torch-default
         # kernel init (see blocks.torch_kernel_init)
         from speinet_tpu.models.blocks import FastConv
+        from speinet_tpu.models.blocks import torch_bias_init
         from speinet_tpu.models.blocks import torch_kernel_init as tki
-        conv = lambda feats, k: nn.Conv(feats, (k, k), padding=k // 2,
-                                        kernel_init=tki, dtype=d)
-        self.conv_lv1 = conv(f, 1)
-        self.conv_lv2 = conv(f * 2, 1)
-        self.conv_lv3 = conv(f * 4, 1)
-        self.fusion = conv(f * 4, 1)
+        # kernel AND bias get torch-default init (U(+-1/sqrt(k*k*in_ch)));
+        # the in_ch is passed explicitly because flax bias initializers
+        # cannot see fan-in (round-3 head-to-head flagged zero-bias init as
+        # the one documented deviation on these layers)
+        conv = lambda feats, k, fin: nn.Conv(
+            feats, (k, k), padding=k // 2, kernel_init=tki,
+            bias_init=torch_bias_init(k * k * fin), dtype=d)
+        n_nb = max(self.n_sequence - 1, 0)
+        self.conv_lv1 = conv(f, 1, f * 2)
+        self.conv_lv2 = conv(f * 2, 1, f * 4)
+        self.conv_lv3 = conv(f * 4, 1, f * 8)
+        self.fusion = conv(f * 4, 1, f * 4 * (1 + n_nb))
         # the 3x3 refinement convs run at 32/64 channels on 720p/360p maps —
         # FastConv (same param tree) routes them through the Pallas
         # shifted-matmul kernel with the ReLU fused at inference
         self.search3 = FastConv(f * 2, 3, dtype=d)
-        self.search2 = conv(f * 2, 1)
-        self.search1 = conv(f * 2, 1)
+        self.search2 = conv(f * 2, 1, f * 4)
+        self.search1 = conv(f * 2, 1, f * 4)
         self.search43 = FastConv(f, 3, dtype=d)
         self.search33 = FastConv(f, 3, dtype=d)
-        self.search23 = conv(f, 1)   # defined, unused (parity)
-        self.search13 = conv(f, 1)
+        self.search23 = conv(f, 1, f * 2)   # defined, unused (parity)
+        self.search13 = conv(f, 1, f * 2)
 
     def _fuse(self, f_mid, neighbor_feats, deterministic):
         """Cross-frame Swin fusion (parity: speinet.py:75-90). All neighbor

@@ -34,6 +34,16 @@ trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, up
 conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
+def _conv3(features: int, in_features: int, dtype, name: str) -> nn.Conv:
+    """3x3 SAME conv with full torch-default init (kernel AND bias — the
+    reference's SwinIR convs are plain nn.Conv2d, swinir.py:634-681)."""
+    from speinet_tpu.models.blocks import torch_bias_init
+
+    return nn.Conv(features, (3, 3), padding=1, kernel_init=conv_kernel_init,
+                   bias_init=torch_bias_init(9 * in_features), dtype=dtype,
+                   name=name)
+
+
 @functools.lru_cache(maxsize=None)
 def relative_position_index(wh: int, ww: int) -> np.ndarray:
     """Pairwise relative-position index table (parity: swinir.py:91-102)."""
@@ -437,7 +447,7 @@ class RSTB(nn.Module):
         hh, ww = x_size
         b, l, c = res.shape
         img = res.reshape(b, hh, ww, c).astype(self.dtype)
-        img = nn.Conv(self.dim, (3, 3), padding=1, kernel_init=conv_kernel_init, dtype=self.dtype, name="conv")(img)
+        img = _conv3(self.dim, self.dim, self.dtype, name="conv")(img)
         return img.reshape(b, l, c) + x
 
 
@@ -465,8 +475,8 @@ class SwinIRCross(nn.Module):
         in_ch = x.shape[-1]
         hh, ww = x.shape[1], x.shape[2]
         b = x.shape[0]
-        conv_first = nn.Conv(self.embed_dim, (3, 3), padding=1, kernel_init=conv_kernel_init, dtype=self.dtype,
-                             name="conv_first")          # shared for x and y
+        conv_first = _conv3(self.embed_dim, in_ch, self.dtype,
+                            name="conv_first")           # shared for x and y
         x_first = conv_first(x.astype(self.dtype))
         y_first = conv_first(y.astype(self.dtype))
 
@@ -492,8 +502,7 @@ class SwinIRCross(nn.Module):
         feat = nn.LayerNorm(dtype=jnp.float32, name="norm")(feat).astype(self.dtype)
         feat = feat.reshape(b, hh, ww, self.embed_dim)
 
-        res = nn.Conv(self.embed_dim, (3, 3), padding=1, kernel_init=conv_kernel_init, dtype=self.dtype,
-                      name="conv_after_body")(feat) + x_first
-        out = nn.Conv(in_ch, (3, 3), padding=1, kernel_init=conv_kernel_init, dtype=self.dtype,
-                      name="conv_last")(res)
+        res = _conv3(self.embed_dim, self.embed_dim, self.dtype,
+                     name="conv_after_body")(feat) + x_first
+        out = _conv3(in_ch, self.embed_dim, self.dtype, name="conv_last")(res)
         return x.astype(self.dtype) + out

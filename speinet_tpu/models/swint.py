@@ -54,9 +54,12 @@ class SWINT(nn.Module):
                                       n_resblock=self.n_resblock,
                                       out_channels=self.out_channels,
                                       dtype=self.dtype)
-        from speinet_tpu.models.blocks import torch_kernel_init
+        from speinet_tpu.models.blocks import torch_bias_init, torch_kernel_init
         self.conv = nn.Conv(self.n_feat * 4, (1, 1),
-                            kernel_init=torch_kernel_init, dtype=self.dtype)
+                            kernel_init=torch_kernel_init,
+                            bias_init=torch_bias_init(
+                                self.n_feat * 4 * max(self.n_sequence, 1)),
+                            dtype=self.dtype)
 
     def __call__(self, x, train: bool = False):
         deterministic = not train

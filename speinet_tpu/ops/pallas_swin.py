@@ -192,11 +192,96 @@ def fused_ln_mlp(x: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2, b2,
     return out[:, :l] if pad else out
 
 
+def _attn_compact(q, kv, bias4_ref, mask, *, n: int, group_w: int,
+                  heads: int, quad_h: int, c: int, hd: int,
+                  groups_per_stream: int):
+    """Column-grouped, head-quad-packed window attention.
+
+    q, kv: [M, C] / [M, 2C] rows in (stream, window, token) order. Scores
+    are computed per COLUMN GROUP of `group_w` adjacent windows (N =
+    group_w*n ~ one 128-lane tile) instead of per the full window packing,
+    and per HEAD QUAD of `quad_h` heads merged into the contraction
+    (K = quad_h*hd = 128) by tiling Q `quad_h`x along rows under an
+    iota-derived head-selector mask. vs. the old [sgn, sgn] block-diagonal
+    packing this cuts the AV-matmul MXU cycles and the softmax/mask VPU
+    width by sgn/(group_w*n) (4x at the template's S=2 G=8) while keeping
+    the same matmul instruction count — and every op used (concat,
+    multiply, dot_general, static 2-D slices) has a Mosaic lowering, unlike
+    the round-3 "wide" head-expansion reshape.
+
+    bias4_ref: [n_quads, quad_h*gq, gq] packed rel-pos bias with off-window
+    blocks at -1e9 (gq = group_w*n). mask: [groups_per_stream, quad_h*gq,
+    gq] shift/pad mask already in compact layout (leading-axis indexed per
+    group — in-kernel [gq, gq] diagonal slices at 100-row offsets forced
+    lane/sublane relayouts that made the shifted block 1.4x SLOWER than
+    the non-compact path; pre-sliced input makes it free), or None.
+    """
+    m_rows = q.shape[0]
+    gq = group_w * n
+    qk = quad_h * hd                      # contraction width per quad
+    n_quads = heads // quad_h
+    n_groups = m_rows // gq
+    dtype = q.dtype
+
+    # head-selector: row-block h_loc keeps channel block h_loc (shared by
+    # the Q pre-mask and the output fold — same [quad_h*gq, qk] pattern)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (quad_h * gq, qk), 0) // gq
+    cc = jax.lax.broadcasted_iota(jnp.int32, (quad_h * gq, qk), 1) // hd
+    hsel = (rr == cc).astype(dtype)
+
+    outs = []
+    for gi in range(n_groups):
+        qg = q[gi * gq : (gi + 1) * gq]
+        kg = kv[gi * gq : (gi + 1) * gq, :c]
+        vg = kv[gi * gq : (gi + 1) * gq, c:]
+        if mask is not None:
+            mt = mask[gi % groups_per_stream]
+        quad_outs = []
+        for qd in range(n_quads):
+            qs = qg[:, qd * qk : (qd + 1) * qk]
+            ks = kg[:, qd * qk : (qd + 1) * qk]
+            vs = vg[:, qd * qk : (qd + 1) * qk]
+            q4 = jnp.concatenate([qs] * quad_h, axis=0) * hsel
+            s = jax.lax.dot_general(q4, ks, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + (bias4_ref[qd] + mt if mask is not None else bias4_ref[qd])
+            p = jax.nn.softmax(s, axis=-1).astype(dtype)
+            o4 = jax.lax.dot_general(p, vs, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            o4 = o4 * hsel
+            oq = o4[:gq]
+            for h in range(1, quad_h):
+                oq = oq + o4[h * gq : (h + 1) * gq]
+            quad_outs.append(oq)
+        outs.append(quad_outs[0] if n_quads == 1
+                    else jnp.concatenate(quad_outs, axis=1))
+    return outs[0] if n_groups == 1 else jnp.concatenate(outs, axis=0)
+
+
+def compact_geometry(g: int, n: int, heads: int, hd: int):
+    """(group_w, quad_h) for the compact attention path: the largest
+    divisor of g with group_w*n <= 128 lanes, and the largest divisor of
+    heads with quad_h*hd <= 128 contraction. Env overrides: SPEINET_SWIN_GW
+    / SPEINET_SWIN_QH (0 = auto)."""
+    import os
+
+    gw_env = int(os.environ.get("SPEINET_SWIN_GW", "0"))
+    qh_env = int(os.environ.get("SPEINET_SWIN_QH", "0"))
+    group_w = gw_env if gw_env and g % gw_env == 0 else max(
+        (d for d in range(1, g + 1) if g % d == 0 and d * n <= 128),
+        default=1)
+    quad_h = qh_env if qh_env and heads % qh_env == 0 else max(
+        (d for d in range(1, heads + 1) if heads % d == 0 and d * hd <= 128),
+        default=1)
+    return group_w, quad_h
+
+
 def _block_kernel(x_ref, y_ref, ls1_ref, lb1_ref, wkv_ref, bkv_ref, wq_ref,
                   bq_ref, wp_ref, bp_ref, bias_ref, mask_ref, ls2_ref,
                   lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, ws: int,
                   g: int, s_batch: int, heads: int, scale: float,
-                  has_mask: bool):
+                  has_mask: bool, compact: bool = False, group_w: int = 1,
+                  quad_h: int = 1):
     """One FULL Swin block (attn + both residuals + LN2 + MLP) per grid
     step, for `s_batch` batch entries of one window row-group at once:
 
@@ -232,23 +317,29 @@ def _block_kernel(x_ref, y_ref, ls1_ref, lb1_ref, wkv_ref, bkv_ref, wq_ref,
     q = (q * scale).astype(xw.dtype)
     kv = kv.astype(xw.dtype)
 
-    if has_mask:
-        # per-window shift/pad mask, identical for every stream: tile to
-        # [sgn, sgn] once (the off-stream blocks are already -1e9 in bias)
-        m = mask_ref[0, 0]
-        mtile = jnp.concatenate([jnp.concatenate([m] * s_batch, axis=0)]
-                                * s_batch, axis=1)
-    heads_out = []
-    for h in range(heads):
-        qh = q[:, h * hd : (h + 1) * hd]
-        kh = kv[:, h * hd : (h + 1) * hd]
-        vh = kv[:, c + h * hd : c + (h + 1) * hd]
-        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s + (bias_ref[h] + mtile if has_mask else bias_ref[h])
-        p = jax.nn.softmax(s, axis=-1).astype(xw.dtype)
-        heads_out.append(jnp.dot(p, vh, preferred_element_type=jnp.float32))
-    out = jnp.concatenate(heads_out, axis=1).astype(xw.dtype)
+    if compact:
+        out = _attn_compact(
+            q, kv, bias_ref, mask_ref[0, 0] if has_mask else None,
+            n=n, group_w=group_w, heads=heads, quad_h=quad_h, c=c, hd=hd,
+            groups_per_stream=g // group_w).astype(xw.dtype)
+    else:
+        if has_mask:
+            # per-window shift/pad mask, identical for every stream: tile to
+            # [sgn, sgn] once (the off-stream blocks are already -1e9 in bias)
+            m = mask_ref[0, 0]
+            mtile = jnp.concatenate([jnp.concatenate([m] * s_batch, axis=0)]
+                                    * s_batch, axis=1)
+        heads_out = []
+        for h in range(heads):
+            qh = q[:, h * hd : (h + 1) * hd]
+            kh = kv[:, h * hd : (h + 1) * hd]
+            vh = kv[:, c + h * hd : c + (h + 1) * hd]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + (bias_ref[h] + mtile if has_mask else bias_ref[h])
+            p = jax.nn.softmax(s, axis=-1).astype(xw.dtype)
+            heads_out.append(jnp.dot(p, vh, preferred_element_type=jnp.float32))
+        out = jnp.concatenate(heads_out, axis=1).astype(xw.dtype)
 
     res = jnp.dot(out, wp_ref[:], preferred_element_type=jnp.float32) + bp_ref[:]
     x2 = xw_raw.astype(jnp.float32) + res          # first residual (f32)
@@ -285,30 +376,55 @@ def fused_swin_block(
     has_mask = bool(shift > 0 or pad_h or pad_w)
     nr, nc = hp // ws, wpx // (g * ws)
     dedup = shift > 0 and not (pad_h or pad_w)
+    hd = c // heads
+    scale = float(hd ** -0.5)
+    compact = os.environ.get("SPEINET_SWIN_COMPACT", "1") == "1"
+    group_w, quad_h = compact_geometry(g, n, heads, hd) if compact else (1, 1)
     # the per-(row, col) shift/pad mask stays [gN, gN] (tiled to streams
     # in-kernel only when needed); when there is no mask the kernel skips
     # it entirely, since cross-window/-stream -1e9 is folded into the bias.
     # Shift-only masks are deduplicated to the 4 distinct blocks
-    # (packed_mask_dedup) so no 46 MB constant lands in the module.
-    if dedup:
-        mask = jnp.asarray(packed_mask_dedup(hp, wpx, ws, shift, g))
-    else:
-        mask = jnp.asarray(packed_mask(hp, wpx, ws, shift, pad_h, pad_w, g)
-                           if has_mask
-                           else np.zeros((nr, nc, 1, 1), np.float32))
-    if has_mask:
+    # (packed_mask_dedup) so no 46 MB constant lands in the module. The
+    # compact path gets its mask pre-sliced per column group (5-D layout)
+    # so the kernel does leading-axis indexing only.
+    if compact and has_mask:
+        if dedup:
+            mask = jnp.asarray(packed_mask_dedup_compact(
+                hp, wpx, ws, shift, g, group_w * n, quad_h))
+        else:
+            mask = jnp.asarray(packed_mask_compact(
+                hp, wpx, ws, shift, pad_h, pad_w, g, group_w * n, quad_h))
+    elif dedup:
+        mask = jnp.maximum(jnp.asarray(
+            packed_mask_dedup(hp, wpx, ws, shift, g)), -200.0)
+    elif has_mask:
         # strip packed_mask's own off-block -1e9 (it lives in the bias now)
-        mask = jnp.maximum(mask, -200.0)
-    scale = float((c // heads) ** -0.5)
-    # rel-pos bias pre-expanded to the stream-packed score shape with the
-    # cross-window/cross-stream blocks at -1e9 (built in XLA, tiny inputs)
-    eye = jnp.eye(s_batch * g, dtype=jnp.float32)
-    bias_diag = jnp.einsum("ij,hmn->himjn", eye, bias).reshape(heads, sgn, sgn)
-    offblock = (1.0 - jnp.repeat(jnp.repeat(eye, n, axis=0), n, axis=1)) * (-1e9)
-    bias_packed = bias_diag + offblock[None]
+        mask = jnp.maximum(jnp.asarray(
+            packed_mask(hp, wpx, ws, shift, pad_h, pad_w, g)), -200.0)
+    else:
+        mask = jnp.asarray(np.zeros((nr, nc, 1, 1), np.float32))
+    if compact:
+        # packed rel-pos bias for the compact path: per head-quad, the
+        # quad's heads stacked along rows, windows block-diagonal with
+        # off-window positions at -1e9 (built in XLA, tiny)
+        gq = group_w * n
+        n_quads = heads // quad_h
+        eye_w = jnp.eye(group_w, dtype=jnp.float32)
+        bd = jnp.einsum("uv,hij->huivj", eye_w, bias).reshape(heads, gq, gq)
+        off = (1.0 - jnp.repeat(jnp.repeat(eye_w, n, axis=0), n, axis=1)) * (-1e9)
+        bias_packed = (bd + off[None]).reshape(n_quads, quad_h * gq, gq)
+    else:
+        # rel-pos bias pre-expanded to the stream-packed score shape with the
+        # cross-window/cross-stream blocks at -1e9 (built in XLA, tiny inputs)
+        eye = jnp.eye(s_batch * g, dtype=jnp.float32)
+        bias_diag = jnp.einsum("ij,hmn->himjn", eye, bias).reshape(heads, sgn, sgn)
+        offblock = (1.0 - jnp.repeat(jnp.repeat(eye, n, axis=0), n, axis=1)) * (-1e9)
+        bias_packed = bias_diag + offblock[None]
 
     kernel = functools.partial(_block_kernel, ws=ws, g=g, s_batch=s_batch,
-                               heads=heads, scale=scale, has_mask=has_mask)
+                               heads=heads, scale=scale, has_mask=has_mask,
+                               compact=compact, group_w=group_w,
+                               quad_h=quad_h)
     grid = (b // s_batch, hp // ws, wpx // (g * ws))
     gws = g * ws
     dtype = x.dtype
@@ -329,14 +445,8 @@ def fused_swin_block(
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bq
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wp
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bp
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias [h, S*gN, S*gN]
-            pl.BlockSpec((1, 1, g * n, g * n),
-                         _dedup_index_map(nr, nc),
-                         memory_space=pltpu.VMEM)
-            if dedup else
-            pl.BlockSpec((1, 1, g * n, g * n) if has_mask else (1, 1, 1, 1),
-                         lambda bi, i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (packed layout)
+            _mask_block_spec(mask, dedup, nr, nc),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ln2 scale
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ln2 bias
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w1
@@ -436,13 +546,56 @@ def packed_mask_dedup(hp: int, wp: int, ws: int, shift: int,
     return out
 
 
-def _dedup_index_map(nr: int, nc: int):
+def _dedup_index_map(nr: int, nc: int, extra_dims: int = 2):
     """Index map selecting the packed_mask_dedup block for grid step (i, j):
     interior -> (0, 0), last window row -> (1, *), last colgroup -> (*, 1)."""
     def imap(bi, i, j):
         return (jnp.minimum(i // max(nr - 1, 1), 1),
-                jnp.minimum(j // max(nc - 1, 1), 1), 0, 0)
+                jnp.minimum(j // max(nc - 1, 1), 1)) + (0,) * extra_dims
     return imap
+
+
+def _mask_block_spec(mask, dedup: bool, nr: int, nc: int):
+    """Per-grid-step mask block: one (row, colgroup)-indexed block of
+    whatever trailing layout the mask carries (4-D classic [gN, gN] or 5-D
+    compact [gps, quad_h*gq, gq])."""
+    block = (1, 1) + tuple(mask.shape[2:])
+    trail = mask.ndim - 2
+    if dedup:
+        return pl.BlockSpec(block, _dedup_index_map(nr, nc, trail),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec(block,
+                        lambda bi, i, j, _t=trail: (i, j) + (0,) * _t,
+                        memory_space=pltpu.VMEM)
+
+
+def _to_compact_layout(m4: np.ndarray, gq: int, quad_h: int) -> np.ndarray:
+    """[A, B, gN, gN] diag-blocked window masks -> [A, B, gN/gq, quad_h*gq,
+    gq]: the per-column-group diagonal [gq, gq] slice, tiled quad_h x along
+    rows, pre-sliced on the host so the kernel never lane-shifts."""
+    a_n, b_n, g_n, _ = m4.shape
+    gps = g_n // gq
+    out = np.empty((a_n, b_n, gps, quad_h * gq, gq), m4.dtype)
+    for a in range(a_n):
+        for b in range(b_n):
+            for gi in range(gps):
+                s = m4[a, b, gi * gq : (gi + 1) * gq, gi * gq : (gi + 1) * gq]
+                out[a, b, gi] = np.tile(s, (quad_h, 1))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def packed_mask_compact(hp: int, wp: int, ws: int, shift: int, pad_h: int,
+                        pad_w: int, g: int, gq: int, quad_h: int) -> np.ndarray:
+    full = np.maximum(packed_mask(hp, wp, ws, shift, pad_h, pad_w, g), -200.0)
+    return _to_compact_layout(full, gq, quad_h)
+
+
+@functools.lru_cache(maxsize=None)
+def packed_mask_dedup_compact(hp: int, wp: int, ws: int, shift: int, g: int,
+                              gq: int, quad_h: int) -> np.ndarray:
+    ded = np.maximum(packed_mask_dedup(hp, wp, ws, shift, g), -200.0)
+    return _to_compact_layout(ded, gq, quad_h)
 
 
 def fused_window_cross_attention(

@@ -223,3 +223,24 @@ def test_fused_path_group_gt1(rng, monkeypatch):
     assert pick_group(8) > 1
     ref, fused = _run_block(5, 40, 32, 4, 2, jnp.float32, rng, monkeypatch)
     np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
+
+
+def test_compact_multigroup_multiquad(rng, monkeypatch):
+    """Template-like compact geometry: 8 windows/step split into 2 column
+    groups (GW=4) and 8 heads into 2 quads (QH=4) — exercises every loop of
+    _attn_compact (groups_per_stream=2, n_groups=4, n_quads=2), shifted and
+    unshifted."""
+    monkeypatch.setenv("SPEINET_SWIN_COMPACT", "1")
+    monkeypatch.setenv("SPEINET_SWIN_GW", "4")
+    monkeypatch.setenv("SPEINET_SWIN_QH", "4")
+    for shift in (0, 2):
+        ref, fused = _run_block(10, 40, 64, 8, shift, jnp.float32, rng,
+                                monkeypatch)
+        np.testing.assert_allclose(ref, fused, rtol=3e-5, atol=3e-5)
+
+
+def test_compact_matches_noncompact_padded(rng, monkeypatch):
+    """Padded (non-window-multiple) case through the compact path vs XLA."""
+    monkeypatch.setenv("SPEINET_SWIN_COMPACT", "1")
+    ref, fused = _run_block(9, 38, 64, 8, 2, jnp.float32, rng, monkeypatch)
+    np.testing.assert_allclose(ref, fused, rtol=3e-5, atol=3e-5)
