@@ -234,6 +234,73 @@ def _run_direct_mode(model, variables, frames, batch, h, w, n_iter):
             "compile_cache": cache_state}
 
 
+def _run_train_mode(batch: int, n_steps: int, accum: int):
+    """Training throughput at the flagship template (patch 200^2): steps/s
+    and training frames/s on one chip (VERDICT r3 #5 — track training perf
+    per round like inference). `accum` > 1 runs gradient accumulation with
+    batch/accum microbatches (the documented way to reach the reference's
+    batch 20 within 16 GB HBM; optimizer math matches the mean-loss batch
+    gradient; train-mode BN sees microbatch stats)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speinet_tpu.config import Config, set_template
+    from speinet_tpu.models.speinet import SPEINet
+    from speinet_tpu.training.train_state import (create_train_state,
+                                                  make_train_step)
+    from speinet_tpu.utils.init_cache import cached_init
+
+    patch = int(os.environ.get("BENCH_TRAIN_PATCH", "200"))
+    cfg = set_template(Config(template="SPEINet")).replace(
+        batch_size=batch, patch_size=patch)
+    model = SPEINet.from_config(cfg)
+    rng = np.random.default_rng(1)
+    micro = batch // accum
+    x = jnp.asarray(np.clip(
+        0.5 + 0.1 * rng.standard_normal((batch, 5, 3, patch, patch)), 0.02,
+        1.0).astype(np.float32))
+    gt = x[:, 2]
+
+    variables = cached_init(model, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 5, 3, 80, 80), jnp.float32))
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 5, 3, 80, 80), jnp.float32))
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables.get("batch_stats", {}))
+    if accum > 1:
+        # true gradient accumulation: optax.MultiSteps buffers microbatch
+        # grads and applies ONE Adam update every `accum` micro steps —
+        # the logical step trains the reference's batch on 16 GB HBM
+        import optax
+
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        state = state.replace(opt_state=tx.init(state.params))
+    step = make_train_step(cfg, model, tx, mesh=None)
+
+    def logical_step(state, seed):
+        total = None
+        for k in range(accum):
+            mb = slice(k * micro, (k + 1) * micro)
+            state, total, _ = step(state, x[mb], gt[mb],
+                                   jax.random.PRNGKey(seed * accum + k))
+        return state, total
+
+    t0 = time.time()
+    state, total = logical_step(state, 0)
+    float(total)                           # compile + run 1
+    compile_sec = time.time() - t0
+    t1 = time.time()
+    for i in range(1, n_steps + 1):
+        state, total = logical_step(state, i)
+    float(total)
+    dt = (time.time() - t1) / n_steps
+    return {"train_ms_per_step": round(dt * 1000, 1),
+            "train_fps": round(batch / dt, 3),
+            "train_batch": batch, "train_patch": patch,
+            "train_accum": accum,
+            "train_compile_sec": round(compile_sec, 1)}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -279,6 +346,14 @@ def main():
         detail["direct_fps"] = direct["fps"]
         detail["direct_compile_sec"] = direct["compile_sec"]
         detail["direct_compile_cache"] = direct["compile_cache"]
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            detail.update(_run_train_mode(
+                batch=int(os.environ.get("BENCH_TRAIN_BATCH", "20")),
+                n_steps=int(os.environ.get("BENCH_TRAIN_STEPS", "6")),
+                accum=int(os.environ.get("BENCH_TRAIN_ACCUM", "5"))))
+        except Exception as e:   # training bench must never kill the headline
+            detail["train_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     head = video if video is not None else direct
     if video is None:
         detail["mode"] = "direct(full forward)"

@@ -57,15 +57,16 @@ class BatchIterator:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, list]]:
-        rng = np.random.default_rng((self.seed, self.epoch))
+        epoch = self.epoch           # snapshot: shuffle and per-sample rng
+        self.epoch += 1              # streams share one epoch label
+        rng = np.random.default_rng((self.seed, epoch))
         order = np.arange(len(self.ds))
         if self.shuffle:
             rng.shuffle(order)
-        self.epoch += 1
 
         def fetch(i):
             # per-sample rng stream: deterministic given (seed, epoch, index)
-            srng = np.random.default_rng((self.seed, self.epoch, int(i)))
+            srng = np.random.default_rng((self.seed, epoch, int(i)))
             return self.ds.__getitem__(int(i), rng=srng)
 
         with ThreadPoolExecutor(max_workers=self.n_threads) as pool:

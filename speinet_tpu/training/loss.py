@@ -72,16 +72,29 @@ class LossComputer:
     total, components = computer(out, gt, rng) — `components` maps loss
     name -> weighted scalar (plus 'Total' when >1 component, matching the
     reference's log columns, Loss/__init__.py:48-49,69-84).
+
+    Plugin branches (Loss/__init__.py:31-36): any name containing 'VGG'
+    dispatches to the perceptual plugin (training/perceptual.py), any name
+    containing 'GAN' to the adversarial plugin (training/adversarial.py).
+    GAN specs add a 'DIS' log column (the discriminator's own loss,
+    Loss/__init__.py:46-47) and require the discriminator state pytree to
+    be passed as `gan=` (TrainState.gan — see make_train_step /
+    create_train_state); its update happens in the train step via
+    adversarial.discriminator_step.
     """
 
-    def __init__(self, spec: str):
+    def __init__(self, spec: str, rgb_range: float = 255.0):
         self.spec = parse_loss_spec(spec)
+        self.rgb_range = rgb_range
+        self.has_gan = any("GAN" in name for _, name in self.spec)
         self.names = [name for _, name in self.spec]
+        if self.has_gan:
+            self.names = self.names + ["DIS"]
         if len(self.spec) > 1:
             self.names = self.names + ["Total"]
 
-    def __call__(self, out: jnp.ndarray, gt: jnp.ndarray, rng: jax.Array
-                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    def __call__(self, out: jnp.ndarray, gt: jnp.ndarray, rng: jax.Array,
+                 gan=None) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         comps: Dict[str, jnp.ndarray] = {}
         total = 0.0
         for weight, name in self.spec:
@@ -91,6 +104,20 @@ class LossComputer:
                 val = mse_loss(out, gt)
             elif name == "HEM":
                 val = hem_loss(out, gt, rng)
+            elif "VGG" in name:
+                from speinet_tpu.training.perceptual import vgg_loss
+
+                digits = "".join(ch for ch in name if ch.isdigit()) or "22"
+                val = vgg_loss(out, gt, conv_index=digits,
+                               rgb_range=self.rgb_range)
+            elif "GAN" in name:
+                from speinet_tpu.training.adversarial import generator_loss
+
+                if gan is None:
+                    raise ValueError(
+                        f"loss spec '{name}' needs the discriminator state: "
+                        "pass gan= (create_train_state builds it)")
+                val = generator_loss(gan, out, rgb_range=self.rgb_range)
             else:
                 raise NotImplementedError(f"Loss type [{name}] is not found")
             eff = weight * val

@@ -23,7 +23,7 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from speinet_tpu.config import Config
-from speinet_tpu.training.loss import LossComputer
+from speinet_tpu.training.loss import LossComputer, parse_loss_spec
 
 
 class TrainState(struct.PyTreeNode):
@@ -32,6 +32,7 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: optax.OptState
     lr: jnp.ndarray                      # current learning rate (mutable per epoch)
+    gan: Any = None                      # adversarial plugin state (loss.py GAN branch)
 
 
 def lr_for_epoch(cfg: Config, epoch: int) -> float:
@@ -56,16 +57,24 @@ def create_train_state(cfg: Config, model, rng: jax.Array,
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
+    gan = None
+    if any("GAN" in name for _, name in parse_loss_spec(cfg.loss)):
+        from speinet_tpu.training.adversarial import init_gan_state
+
+        b = sample_input.shape[0]
+        h, w = sample_input.shape[-2:]
+        gan = init_gan_state(jax.random.fold_in(rng, 7), (b, 3, h, w),
+                             rgb_range=cfg.rgb_range)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        batch_stats=batch_stats, opt_state=opt_state,
-                       lr=jnp.asarray(cfg.lr, jnp.float32))
+                       lr=jnp.asarray(cfg.lr, jnp.float32), gan=gan)
     return state, tx
 
 
 def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None) -> Callable:
     """Build the jitted train step. batch = (input [B,5,3,H,W], gt [B,3,H,W])."""
-    loss_computer = LossComputer(cfg.loss)
+    loss_computer = LossComputer(cfg.loss, rgb_range=cfg.rgb_range)
 
     def step_fn(state: TrainState, inp, gt, rng):
         drop_rng, hem_rng = jax.random.split(rng)
@@ -77,16 +86,24 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
             out, mutated = model.apply(
                 variables, inp, train=True, mutable=["batch_stats"],
                 rngs={"droppath": drop_rng})
-            total, comps = loss_computer(out, gt, hem_rng)
-            return total, (comps, mutated.get("batch_stats", {}))
+            total, comps = loss_computer(out, gt, hem_rng, gan=state.gan)
+            return total, (comps, mutated.get("batch_stats", {}), out)
 
-        (total, (comps, new_bs)), grads = jax.value_and_grad(
+        (total, (comps, new_bs, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * state.lr, updates)
         new_params = optax.apply_updates(state.params, updates)
+        new_gan = state.gan
+        if loss_computer.has_gan:
+            from speinet_tpu.training.adversarial import discriminator_step
+
+            new_gan, dis_loss = discriminator_step(
+                state.gan, out, gt, rgb_range=cfg.rgb_range)
+            comps["DIS"] = dis_loss
         new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_bs, opt_state=new_opt)
+                                  batch_stats=new_bs, opt_state=new_opt,
+                                  gan=new_gan)
         return new_state, total, comps
 
     if mesh is None:
