@@ -97,7 +97,8 @@ def _timed_chain(chunk, prev0, n_iter):
     return (time.time() - t0) / n_iter, compile_time, cache_state
 
 
-def _run_video_mode(model, variables, frames, batch, h, w, n_iter):
+def _run_video_mode(model, variables, frames, batch, h, w, n_iter,
+                    ratio=None):
     """Steady-state sliding-window video throughput through the cached
     engine (infer.py --cache_pyramids): per chunk of `batch` consecutive
     windows, the device work is 3 encoder legs per NEW frame (enc, enc(RL1),
@@ -112,8 +113,15 @@ def _run_video_mode(model, variables, frames, batch, h, w, n_iter):
     import jax.numpy as jnp
     from speinet_tpu.models.speinet import SPEINet
 
-    n_anchor = max(1, round(batch * float(os.environ.get("BENCH_SHARP_RATIO",
-                                                         "0.5"))))
+    if ratio is None:
+        ratio = float(os.environ.get("BENCH_SHARP_RATIO", "0.5"))
+    # anchor cadence: at ratio r, a new sharp anchor appears every 1/r
+    # frames. Within a chunk that is n_anchor = batch*r anchors (>= 1);
+    # below 1/batch, the anchor program instead runs only every
+    # `anchor_every` chunks (GoProRS spans r = 0.02..0.5, BASELINE.md —
+    # VERDICT r3 #7 asks for the fleet-relevant cadence sweep).
+    n_anchor = max(1, round(batch * ratio))
+    anchor_every = max(1, round(1.0 / (batch * ratio)))
 
     # weights as traced args, not closure constants — closed-over params
     # (~110 MB) embed into each serialized module and, together with the
@@ -146,7 +154,7 @@ def _run_video_mode(model, variables, frames, batch, h, w, n_iter):
         ver = _aot_ver(batch, h, w)
         _jl = aot_cached(legs, (variables, base), tag=f"bench-legs-{ver}")
         _ja = aot_cached(anchor, (variables, anchor_in),
-                         tag=f"bench-anchor-{ver}")
+                         tag=f"bench-anchor-{ver}-na{n_anchor}")
         ex_m, ex_n = jax.eval_shape(legs, variables, base)
         ex_p = jax.eval_shape(anchor, variables, anchor_in)
         rep_s = lambda s: jax.ShapeDtypeStruct(
@@ -163,12 +171,18 @@ def _run_video_mode(model, variables, frames, batch, h, w, n_iter):
     ja = lambda fr: _ja(variables, fr)
     jr = lambda *a: _jr(variables, *a)
 
+    pcell = [None]
+    it = [0]
+
     def chunk(prev):
         # chain: fold the previous output into the new frames so the lazy
         # relay cannot elide or reorder any call
         fr = base + prev * 1e-4
         m, n = jl(fr)
-        p1, p2, p3 = ja(anchor_in + prev[:n_anchor] * 1e-4)
+        if pcell[0] is None or it[0] % anchor_every == 0:
+            pcell[0] = ja(anchor_in + prev[:n_anchor] * 1e-4)
+        it[0] += 1
+        p1, p2, p3 = pcell[0]
         rep = lambda a: jnp.concatenate([a] * ((batch + n_anchor - 1) // n_anchor))[:batch]
         out = jr(m, n, jnp.roll(n, 1, axis=0), rep(p1), rep(p2), rep(p3), hs)
         return out
@@ -192,8 +206,11 @@ def _run_video_mode(model, variables, frames, batch, h, w, n_iter):
         _jax.block_until_ready(out)
         print(f"# restore first: {time.time()-t:.1f}s", file=sys.stderr)
 
+    # low cadences run the anchor every `anchor_every` chunks; time whole
+    # cadence periods (counter phase-aligned by the warmup call at it=0)
+    n_timed = n_iter if anchor_every == 1 else 2 * anchor_every
     dt, compile_time, cache_state = _timed_chain(
-        chunk, jnp.zeros((batch, 3, h, w), jnp.float32), n_iter)
+        chunk, jnp.zeros((batch, 3, h, w), jnp.float32), n_timed)
     return {"fps": round(batch / dt, 4),
             "sec_per_frame": round(dt / batch, 4),
             "compile_sec": round(compile_time + precompile_sec, 1),
@@ -341,6 +358,13 @@ def main():
         detail["video_fps"] = video["fps"]
         detail.update({k: video[k] for k in
                        ("sec_per_frame", "compile_sec", "compile_cache")})
+        if os.environ.get("BENCH_CADENCE", "1") == "1":
+            # anchor-cadence sensitivity across the GoProRS ratio grid
+            # (VERDICT r3 #7); headline stays at the 0.5 cadence
+            for r in (0.1, 0.02):
+                v = _run_video_mode(model, variables, frames, batch, h, w,
+                                    n_iter, ratio=r)
+                detail[f"video_fps_ratio{r}"] = v["fps"]
     if mode in ("direct", "both"):
         direct = _run_direct_mode(model, variables, frames, batch, h, w, n_iter)
         detail["direct_fps"] = direct["fps"]

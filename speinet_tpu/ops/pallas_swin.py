@@ -367,7 +367,13 @@ def fused_swin_block(
     import os
 
     b, hp, wpx, c = x.shape
-    g = pick_group(wpx // ws, max_g=int(os.environ.get("SPEINET_SWIN_G", "8")))
+    compact_on = os.environ.get("SPEINET_SWIN_COMPACT", "1") == "1"
+    # compact packing's score waste is LINEAR in g (vs quadratic for the
+    # [sgn, sgn] path), so bigger window groups win: G16 measured 1.40 vs
+    # 2.30 ms/block at G8 (b=2, 720p-lv3; the old path's optimum was G8
+    # and its G16 was +47%). Non-compact keeps the measured G8 optimum.
+    g = pick_group(wpx // ws, max_g=int(os.environ.get(
+        "SPEINET_SWIN_G", "16" if compact_on else "8")))
     n = ws * ws
     s_batch = int(os.environ.get("SPEINET_SWIN_S", "2"))
     while b % s_batch:
