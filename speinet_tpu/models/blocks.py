@@ -102,8 +102,43 @@ def conv_transpose_torch(x: jnp.ndarray, kernel: jnp.ndarray, bias, stride: int,
     return y
 
 
+def convt_subpixel_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose2d(k=3, s=2, p=1, op=1) as a subpixel conv: stored
+    kernel [3, 3, out, in] -> K2 [2, 2, in, 4*out] such that
+
+        convT(x) == depth_to_space(conv2d_valid(pad_rb(x, 1), K2))
+
+    (phase-major output channels matching ops.s2d.depth_to_space). Output
+    pixel p = 2q - 1 + r (stride 2, pad 1): even p reads one tap (r = 1 at
+    q = p/2), odd p reads two (r = 0 at q0+1, r = 2 at q0). XLA lowers the
+    reference form as an input-dilated 3x3 conv over the OUTPUT grid — 4x
+    the FLOPs, 3/4 of them on zeros; this form is one dense 2x2 conv on
+    the input grid at 4x the output channels, which tiles onto the MXU."""
+    w = kernel.transpose(0, 1, 3, 2)          # W[r_h, r_w, in, out]
+    c_in, c_out = w.shape[2], w.shape[3]
+    k2 = jnp.zeros((2, 2, c_in, 4 * c_out), w.dtype)
+    # (phase a, b) taps: dq = input-grid offset, r = kernel tap index
+    taps = {
+        (0, 0): [((0, 0), (1, 1))],
+        (0, 1): [((0, 0), (1, 2)), ((0, 1), (1, 0))],
+        (1, 0): [((0, 0), (2, 1)), ((1, 0), (0, 1))],
+        (1, 1): [((0, 0), (2, 2)), ((0, 1), (2, 0)),
+                 ((1, 0), (0, 2)), ((1, 1), (0, 0))],
+    }
+    for (a, b), entries in taps.items():
+        ph = a * 2 + b
+        for (dqh, dqw), (rh, rw) in entries:
+            k2 = k2.at[dqh, dqw, :, ph * c_out:(ph + 1) * c_out].set(w[rh, rw])
+    return k2
+
+
 class ConvTransposeTorch(nn.Module):
-    """ConvTranspose2d(k, stride, padding, output_padding) parity module."""
+    """ConvTranspose2d(k, stride, padding, output_padding) parity module.
+
+    `subpixel=True` (k=3/s=2/p=1/op=1 only) runs the mathematically
+    identical dense 2x2-conv + depth_to_space form (convt_subpixel_kernel)
+    with the following ReLU fused before the space interleave — the TPU
+    decoder fast path."""
 
     features: int
     kernel_size: int = 3
@@ -113,7 +148,7 @@ class ConvTransposeTorch(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, subpixel: bool = False, relu: bool = False):
         in_ch = x.shape[-1]
         k = self.kernel_size
         # match torch's default kaiming-uniform fan_in = in_ch * k * k
@@ -126,9 +161,23 @@ class ConvTransposeTorch(nn.Module):
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
         bias = self.param("bias", bias_init, (self.features,))
-        return conv_transpose_torch(x.astype(self.dtype), kernel.astype(self.dtype),
-                                    bias.astype(self.dtype), self.stride,
-                                    self.padding, self.output_padding)
+        if (subpixel and k == 3 and self.stride == 2 and self.padding == 1
+                and self.output_padding == 1):
+            from speinet_tpu.ops.s2d import depth_to_space
+
+            k2 = convt_subpixel_kernel(kernel)
+            xp = jnp.pad(x.astype(self.dtype), ((0, 0), (0, 1), (0, 1), (0, 0)))
+            y = jax.lax.conv_general_dilated(
+                xp, k2.astype(self.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y + jnp.tile(bias, 4).astype(self.dtype)
+            if relu:
+                y = nn.relu(y)
+            return depth_to_space(y)
+        y = conv_transpose_torch(x.astype(self.dtype), kernel.astype(self.dtype),
+                                 bias.astype(self.dtype), self.stride,
+                                 self.padding, self.output_padding)
+        return nn.relu(y) if relu else y
 
 
 class BasicConv(nn.Module):

@@ -40,6 +40,13 @@ def use_fast_convs(x, train: bool) -> bool:
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
 
 
+def _subpixel_on() -> bool:
+    """Decoder ConvT as dense subpixel conv (A/B knob, default on)."""
+    import os
+
+    return os.environ.get("SPEINET_CONVT_SUBPIXEL", "1") == "1"
+
+
 class _ConvReLU(nn.Module):
     features: int
     kernel_size: int = 5
@@ -155,17 +162,17 @@ class ReconsVideo(nn.Module):
     def decoder_second(self, x, train=False):
         if use_fast_convs(x, train):
             r = self.dec2_res.call_fast(x, train=train, s2d=False)
-        else:
-            r = self.dec2_res(x, train=train)
-        return nn.relu(self.dec2_up(r))
+            return self.dec2_up(r, subpixel=_subpixel_on(), relu=True)
+        r = self.dec2_res(x, train=train)
+        return self.dec2_up(r, relu=True)
 
     def decoder_first(self, x, train=False):
         if use_fast_convs(x, train):
             r = depth_to_space(self.dec1_res.call_fast(
                 space_to_depth(x.astype(self.dtype)), train=train, s2d=True))
-        else:
-            r = self.dec1_res(x, train=train)
-        return nn.relu(self.dec1_up(r))
+            return self.dec1_up(r, subpixel=_subpixel_on(), relu=True)
+        r = self.dec1_res(x, train=train)
+        return self.dec1_up(r, relu=True)
 
     def out_block(self, x, train=False):
         if use_fast_convs(x, train):

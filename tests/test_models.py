@@ -237,3 +237,23 @@ def test_restore_routing_specializations_match_mixed(tiny_model_and_params,
                                      method=SPEINet.restore_from_features))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
                                    err_msg=f"routing={routing}")
+
+
+def test_convt_subpixel_matches_conv_transpose(rng):
+    """ConvT(k3,s2,p1,op1) == depth_to_space(2x2-valid conv) with the
+    transformed kernel (the decoder fast path, blocks.convt_subpixel_kernel)."""
+    from speinet_tpu.models.blocks import convt_subpixel_kernel
+    from speinet_tpu.ops.s2d import depth_to_space
+
+    x = rng.random((2, 6, 7, 4)).astype(np.float32)          # NHWC
+    w = rng.random((3, 3, 8, 4)).astype(np.float32) * 0.2    # [kh,kw,out,in]
+    b = rng.random((8,)).astype(np.float32)
+    want = np.asarray(conv_transpose_torch(jnp.asarray(x), jnp.asarray(w),
+                                           jnp.asarray(b), 2, 1, 1))
+    k2 = convt_subpixel_kernel(jnp.asarray(w))
+    xp = jnp.pad(jnp.asarray(x), ((0, 0), (0, 1), (0, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, k2, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = np.asarray(depth_to_space(y + jnp.tile(jnp.asarray(b), 4)))
+    assert got.shape == want.shape == (2, 12, 14, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
