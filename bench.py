@@ -54,7 +54,9 @@ def _aot_ver(batch: int, h: int, w: int) -> str:
                       "SPEINET_SWIN_R", "SPEINET_SWIN_FUSEBLOCK",
                       "SPEINET_SWIN_COMPACT", "SPEINET_SWIN_GW",
                       "SPEINET_SWIN_QH", "SPEINET_MLP_TL",
-                      "SPEINET_NO_FUSED", "BENCH_SHARP_RATIO"))
+                      "SPEINET_NO_FUSED", "BENCH_SHARP_RATIO",
+                      "SPEINET_CORR_RAW", "SPEINET_CORR_TL",
+                      "SPEINET_CORR_TK"))
     h_self = hashlib.sha256()
     with open(os.path.abspath(__file__), "rb") as f:
         h_self.update(f.read())

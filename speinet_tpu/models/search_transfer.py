@@ -40,6 +40,26 @@ def _l2_normalize(x: jnp.ndarray, axis: int, eps: float = 1e-12) -> jnp.ndarray:
     return x / jnp.maximum(norm, eps)
 
 
+def _patch_inv_norms(x_nhwc: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """1 / max(||3x3 patch||, eps) per position: [B, H, W, C] -> [B, H*W]
+    f32. Equals the column norms of unfold(x, 3, 1, 1) (zero padding): the
+    squared patch norm is the 3x3 box sum of per-pixel squared channel
+    norms — computed from the feature map directly, never touching the
+    [B, C*9, L] unfold. Lets the correlation consume RAW unfolds: the
+    argmax over reference rows is invariant to the per-column (lr) norm, so
+    only S needs the post-kernel rescale, and the reference rows fold their
+    norm into one broadcast multiply."""
+    b, h, w, _ = x_nhwc.shape
+    sq = jnp.sum(jnp.square(x_nhwc.astype(jnp.float32)), axis=-1)
+    p = jnp.pad(sq, ((0, 0), (1, 1), (1, 1)))
+    acc = None
+    for di in range(3):
+        for dj in range(3):
+            sl = p[:, di:di + h, dj:dj + w]
+            acc = sl if acc is None else acc + sl
+    return (1.0 / jnp.maximum(jnp.sqrt(acc), eps)).reshape(b, h * w)
+
+
 def correlation_argmax(
     lr_unfold: jnp.ndarray,
     ref_unfold: jnp.ndarray,
@@ -115,46 +135,95 @@ class TransferUnit(nn.Module):
         compute, 'self' skips the sharp-texture gather_folds; both are
         output-identical to 'mixed' for batches whose has_sharp matches."""
         assert routing in ("mixed", "sharp", "self")
+        import os
+
         b, hh, ww, c4 = f_fusion.shape
         l = hh * ww
         # NCHW for patch ops
         lr_nchw = f_fusion.transpose(0, 3, 1, 2)
 
-        lr_unfold = unfold(lr_nchw, 3, 1, 1)                  # [B, D, L]
-        lr_n = _l2_normalize(lr_unfold.astype(jnp.float32), axis=1)
-        if routing != "sharp":
-            # SelfTransfer reference (SearchTransfer.py:60: x.transpose(2,3)
-            # .flip(2)): its 3x3 unfold is an exact permutation of lr_unfold —
-            # swap the kernel axes + flip one, transpose the patch grid + flip
-            # one axis — so no second unfold pass is needed, and because
-            # L2-normalization is per-patch it commutes with the permutation.
-            # All-reshape/transpose/flip: XLA fuses it into the select below.
-            lr6 = lr_n.reshape(b, c4, 3, 3, hh, ww)
-            ref_self_n = jnp.flip(lr6.transpose(0, 1, 3, 2, 5, 4),
-                                  axis=(2, 4)).reshape(b, c4 * 9, l)
-        if routing != "self":
-            sharp3_nchw = sharp_lv3.transpose(0, 3, 1, 2)
-            ref_search_n = _l2_normalize(
-                unfold(sharp3_nchw, 3, 1, 1).astype(jnp.float32), axis=1)
-        if routing == "sharp":
-            ref_n = ref_search_n.transpose(0, 2, 1)
-        elif routing == "self":
-            ref_n = ref_self_n.transpose(0, 2, 1)
-        else:
-            sel = has_sharp[:, None, None]
-            ref_n = jnp.where(sel, ref_search_n, ref_self_n).transpose(0, 2, 1)
         from speinet_tpu.models.swinir import _fused_enabled
+        use_kernel = self.use_pallas and _fused_enabled()
 
-        if self.use_pallas and _fused_enabled():
-            from speinet_tpu.ops.pallas_corr import correlation_argmax_pallas
+        if use_kernel and os.environ.get("SPEINET_CORR_RAW", "1") == "1":
+            # RAW-unfold fast path: the kernel consumes un-normalized bf16
+            # unfolds in [B, D, *] layout. The cosine normalization folds
+            # around the kernel — inv-norms come from a 3x3 box filter of
+            # the squared-channel-norm map (_patch_inv_norms), the reference
+            # rows get one broadcast scale, and S is rescaled per column
+            # after the argmax (which is invariant to column scales). This
+            # skips both [B, D, L] f32 normalize materializations and the
+            # [B, Lr, D] host transpose of the old prep (~2 GB of HBM
+            # traffic per 720p frame).
+            from speinet_tpu.ops.pallas_corr import correlation_argmax_pallas_ld
 
-            # when the model runs bf16, feed the correlation matmul bf16
-            # operands (f32 accumulation inside the kernel) — the MXU runs
-            # bf16 ~4x faster and the cosine scores only gate a max/argmax
-            s, idx = correlation_argmax_pallas(lr_n.astype(self.dtype),
-                                               ref_n.astype(self.dtype))
+            lr_u = unfold(lr_nchw, 3, 1, 1)                    # [B, D, L]
+            inv_lr = _patch_inv_norms(f_fusion)                # [B, L] f32
+            if routing != "sharp":
+                # SelfTransfer reference: pure permutation of the unfold
+                # (see the non-raw branch below); per-position norms follow
+                # the same spatial permutation (patch content is a
+                # transposed/flipped window => identical multiset => equal
+                # norm)
+                lr6 = lr_u.reshape(b, c4, 3, 3, hh, ww)
+                ref_self = jnp.flip(lr6.transpose(0, 1, 3, 2, 5, 4),
+                                    axis=(2, 4)).reshape(b, c4 * 9, l)
+                inv_self = jnp.flip(inv_lr.reshape(b, hh, ww).transpose(0, 2, 1),
+                                    axis=1).reshape(b, l)
+            if routing != "self":
+                ref_search = unfold(sharp_lv3.transpose(0, 3, 1, 2), 3, 1, 1)
+                inv_search = _patch_inv_norms(sharp_lv3)
+            if routing == "sharp":
+                ref_u, inv_ref = ref_search, inv_search
+            elif routing == "self":
+                ref_u, inv_ref = ref_self, inv_self
+            else:
+                sel = has_sharp[:, None, None]
+                ref_u = jnp.where(sel, ref_search, ref_self)
+                inv_ref = jnp.where(has_sharp[:, None], inv_search, inv_self)
+            ref_sc = ref_u.astype(self.dtype) * inv_ref[:, None, :].astype(
+                self.dtype)
+            s, idx = correlation_argmax_pallas_ld(lr_u.astype(self.dtype),
+                                                  ref_sc)
+            s = s * inv_lr
         else:
-            s, idx = correlation_argmax(lr_n, ref_n, chunk=self.chunk)
+            lr_unfold = unfold(lr_nchw, 3, 1, 1)              # [B, D, L]
+            lr_n = _l2_normalize(lr_unfold.astype(jnp.float32), axis=1)
+            if routing != "sharp":
+                # SelfTransfer reference (SearchTransfer.py:60:
+                # x.transpose(2,3).flip(2)): its 3x3 unfold is an exact
+                # permutation of lr_unfold — swap the kernel axes + flip one,
+                # transpose the patch grid + flip one axis — so no second
+                # unfold pass is needed, and because L2-normalization is
+                # per-patch it commutes with the permutation. All-reshape/
+                # transpose/flip: XLA fuses it into the select below.
+                lr6 = lr_n.reshape(b, c4, 3, 3, hh, ww)
+                ref_self_n = jnp.flip(lr6.transpose(0, 1, 3, 2, 5, 4),
+                                      axis=(2, 4)).reshape(b, c4 * 9, l)
+            if routing != "self":
+                sharp3_nchw = sharp_lv3.transpose(0, 3, 1, 2)
+                ref_search_n = _l2_normalize(
+                    unfold(sharp3_nchw, 3, 1, 1).astype(jnp.float32), axis=1)
+            if routing == "sharp":
+                ref_n = ref_search_n.transpose(0, 2, 1)
+            elif routing == "self":
+                ref_n = ref_self_n.transpose(0, 2, 1)
+            else:
+                sel = has_sharp[:, None, None]
+                ref_n = jnp.where(sel, ref_search_n,
+                                  ref_self_n).transpose(0, 2, 1)
+
+            if use_kernel:
+                from speinet_tpu.ops.pallas_corr import correlation_argmax_pallas
+
+                # when the model runs bf16, feed the correlation matmul bf16
+                # operands (f32 accumulation inside the kernel) — the MXU
+                # runs bf16 ~4x faster and the cosine scores only gate a
+                # max/argmax
+                s, idx = correlation_argmax_pallas(lr_n.astype(self.dtype),
+                                                   ref_n.astype(self.dtype))
+            else:
+                s, idx = correlation_argmax(lr_n, ref_n, chunk=self.chunk)
 
         weight_s = s.reshape(b, hh, ww, 1)
 

@@ -114,6 +114,122 @@ def _corr_impl(lr_n: jnp.ndarray, ref_n: jnp.ndarray,
     return s[:, 0, :l], idx[:, 0, :l]
 
 
+def _corr_kernel_ld(lr_ref, ref_ref, s_ref, idx_ref, best, best_idx, *,
+                    tk: int, l_ref_true: int):
+    """Variant of _corr_kernel with the reference in [D, Lr] layout (no host
+    transpose of the 265 MB unfold): contraction on axis 0 of both operands;
+    the MXU consumes the transposed-LHS form natively."""
+    k = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        best[:] = jnp.full_like(best, -jnp.inf)
+        best_idx[:] = jnp.zeros_like(best_idx)
+
+    r = jax.lax.dot_general(ref_ref[0], lr_ref[0], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)   # [TK, TL]
+    row_ids = k * tk + jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
+    r = jnp.where(row_ids < l_ref_true, r, -jnp.inf)
+
+    cmax = jnp.max(r, axis=0)
+    carg = jnp.argmax(r, axis=0).astype(jnp.int32) + k * tk
+    upd = cmax > best[0]
+    best[0] = jnp.where(upd, cmax, best[0])
+    best_idx[0] = jnp.where(upd, carg, best_idx[0])
+
+    @pl.when(k == n_k - 1)
+    def _():
+        s_ref[0, 0] = best[0]
+        idx_ref[0, 0] = best_idx[0]
+
+
+def _corr_impl_ld(lr: jnp.ndarray, ref_ld: jnp.ndarray,
+                  tl: int | None = None, tk: int | None = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """lr: [B, D, L]; ref_ld: [B, D, Lr] (SAME layout — no transpose).
+    Returns (S [B, L] f32, idx [B, L] int32) of max_k <ref_k, lr_i>.
+    Operands need not be normalized; callers fold norm scalings around the
+    kernel (argmax over rows is invariant to a per-COLUMN scale, so only the
+    reference rows must be pre-scaled)."""
+    import os
+
+    if tl is None:
+        tl = int(os.environ.get("SPEINET_CORR_TL", "512"))
+    if tk is None:
+        tk = int(os.environ.get("SPEINET_CORR_TK", "512"))
+    b, d, l = lr.shape
+    l_ref = ref_ld.shape[2]
+    lp = -(-l // tl) * tl
+    kp = -(-l_ref // tk) * tk
+    lr_p = jnp.pad(lr, ((0, 0), (0, 0), (0, lp - l)))
+    ref_p = jnp.pad(ref_ld, ((0, 0), (0, 0), (0, kp - l_ref)))
+
+    kernel = functools.partial(_corr_kernel_ld, tk=tk, l_ref_true=l_ref)
+    grid = (b, lp // tl, kp // tk)
+    s, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, tl), lambda bi, li, ki: (bi, 0, li),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, tk), lambda bi, li, ki: (bi, 0, ki),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tl), lambda bi, li, ki: (bi, 0, li),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tl), lambda bi, li, ki: (bi, 0, li),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, lp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, lp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tl), jnp.float32),
+            pltpu.VMEM((1, tl), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * lp * kp * d,
+            bytes_accessed=(b * d * lp + b * d * kp) * lr.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(lr_p, ref_p)
+    return s[:, 0, :l], idx[:, 0, :l]
+
+
+@jax.custom_vjp
+def correlation_argmax_pallas_ld(lr: jnp.ndarray, ref_ld: jnp.ndarray
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, D, Lr]-layout twin of correlation_argmax_pallas. The custom VJP
+    is the same torch.max subgradient; because the norm scalings live
+    OUTSIDE this kernel (plain XLA ops), autodiff through the caller's
+    inv-norm multiplies recovers the full cosine gradient."""
+    return _corr_impl_ld(lr, ref_ld)
+
+
+def _corr_ld_fwd(lr, ref_ld):
+    s, idx = _corr_impl_ld(lr, ref_ld)
+    return (s, idx), (lr, ref_ld, idx)
+
+
+def _corr_ld_bwd(res, g):
+    lr, ref_ld, idx = res
+    gs = g[0].astype(jnp.float32)                           # [B, L]
+    sel = jnp.take_along_axis(ref_ld, idx[:, None, :], axis=2)  # [B, D, L]
+    d_lr = sel * gs[:, None, :]
+    contrib = (lr * gs[:, None, :]).transpose(0, 2, 1)      # [B, L, D]
+    b = lr.shape[0]
+    bidx = jnp.arange(b)[:, None]
+    d_ref = jnp.zeros_like(ref_ld, shape=(b, ref_ld.shape[2], ref_ld.shape[1]))
+    d_ref = d_ref.at[bidx, idx].add(contrib).transpose(0, 2, 1)
+    return d_lr.astype(lr.dtype), d_ref.astype(ref_ld.dtype)
+
+
+correlation_argmax_pallas_ld.defvjp(_corr_ld_fwd, _corr_ld_bwd)
+
+
 @jax.custom_vjp
 def correlation_argmax_pallas(lr_n: jnp.ndarray, ref_n: jnp.ndarray
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -80,3 +80,20 @@ def test_correlation_argmax_lowered(rng):
     # argmax ties under bf16 rounding may differ on a few positions
     mismatch = np.mean(np.asarray(i_ref) != np.asarray(i_out))
     assert mismatch < 0.02
+
+
+def test_correlation_argmax_ld_lowered(rng):
+    """[B, D, Lr]-layout (raw-unfold) correlation kernel on chip."""
+    _require_tpu()
+    from speinet_tpu.models.search_transfer import correlation_argmax
+    from speinet_tpu.ops.pallas_corr import correlation_argmax_pallas_ld
+
+    b, d, hw = 1, 256, 288
+    q = jnp.asarray(rng.standard_normal((b, d, hw)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((b, d, hw)).astype(np.float32))
+    s_ref, i_ref = correlation_argmax(q, r.transpose(0, 2, 1), chunk=64)
+    s_out, i_out = correlation_argmax_pallas_ld(q, r)
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_out),
+                               rtol=2e-2, atol=2e-2)
+    mismatch = np.mean(np.asarray(i_ref) != np.asarray(i_out))
+    assert mismatch < 0.02
