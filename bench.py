@@ -128,17 +128,28 @@ def _run_video_mode(model, variables, frames, batch, h, w, n_iter,
     # weights as traced args, not closure constants — closed-over params
     # (~110 MB) embed into each serialized module and, together with the
     # packed swin masks, overflowed the remote-compile relay's request limit
-    def legs(v, fr):
-        return model.apply(v, fr, method=SPEINet.encode_window_legs)
+    def legs(v, base_fr, prev):
+        # the chain mix-in runs INSIDE the jitted program: an un-jitted
+        # `base + prev*1e-4` is its own relay dispatch over an 88 MB f32
+        # tensor per chunk
+        return model.apply(v, base_fr + prev * 1e-4,
+                           method=SPEINet.encode_window_legs)
 
-    def anchor(v, fr):
-        return model.apply(v, fr, method=SPEINet.anchor_pyramid)
+    def anchor(v, anchor_fr, prev):
+        return model.apply(v, anchor_fr + prev[: anchor_fr.shape[0]] * 1e-4,
+                           method=SPEINet.anchor_pyramid)
 
-    def restore(v, m, n0, n1, p1, p2, p3, hs):
+    def restore(v, m, n, p1, p2, p3, hs):
         # routing='sharp': this chunk's has_sharp is all-True and the engine
         # dispatches the host-known specialization in that case
-        # (infer.py _infer_video_cached; output-identical to 'mixed')
-        return model.apply(v, m, (n0, n1), p1, p2, p3, hs, routing="sharp",
+        # (infer.py _infer_video_cached; output-identical to 'mixed').
+        # The neighbor roll and the anchor->batch tiling also live inside
+        # the program (they were 3 more un-jitted 100-200 MB dispatches).
+        n1 = jnp.roll(n, 1, axis=0)
+        na = p1.shape[0]
+        rep = lambda a: jnp.concatenate([a] * ((batch + na - 1) // na))[:batch]
+        return model.apply(v, m, (n, n1), rep(p1), rep(p2), rep(p3), hs,
+                           routing="sharp",
                            method=SPEINet.restore_from_features)
 
     base = np.stack([frames[i % len(frames)] for i in range(batch)])
@@ -154,23 +165,22 @@ def _run_video_mode(model, variables, frames, batch, h, w, n_iter,
         from speinet_tpu.utils.aot_cache import aot_cached
 
         ver = _aot_ver(batch, h, w)
-        _jl = aot_cached(legs, (variables, base), tag=f"bench-legs-{ver}")
-        _ja = aot_cached(anchor, (variables, anchor_in),
+        prev0 = jax.ShapeDtypeStruct((batch, 3, h, w), jnp.float32)
+        _jl = aot_cached(legs, (variables, base, prev0),
+                         tag=f"bench-legs-{ver}")
+        _ja = aot_cached(anchor, (variables, anchor_in, prev0),
                          tag=f"bench-anchor-{ver}-na{n_anchor}")
-        ex_m, ex_n = jax.eval_shape(legs, variables, base)
-        ex_p = jax.eval_shape(anchor, variables, anchor_in)
-        rep_s = lambda s: jax.ShapeDtypeStruct(
-            (batch,) + s.shape[1:], s.dtype)
+        ex_m, ex_n = jax.eval_shape(legs, variables, base, prev0)
+        ex_p = jax.eval_shape(anchor, variables, anchor_in, prev0)
         _jr = aot_cached(restore,
-                         (variables, ex_m, ex_n, ex_n, rep_s(ex_p[0]),
-                          rep_s(ex_p[1]), rep_s(ex_p[2]),
+                         (variables, ex_m, ex_n, ex_p[0], ex_p[1], ex_p[2],
                           jax.ShapeDtypeStruct((batch,), jnp.bool_)),
                          tag=f"bench-restore-{ver}")
     else:
         _jl, _ja, _jr = jax.jit(legs), jax.jit(anchor), jax.jit(restore)
     precompile_sec = time.time() - precompile_t0   # aot path compiles here
-    jl = lambda fr: _jl(variables, fr)
-    ja = lambda fr: _ja(variables, fr)
+    jl = lambda *a: _jl(variables, *a)
+    ja = lambda *a: _ja(variables, *a)
     jr = lambda *a: _jr(variables, *a)
 
     pcell = [None]
@@ -179,32 +189,29 @@ def _run_video_mode(model, variables, frames, batch, h, w, n_iter,
     def chunk(prev):
         # chain: fold the previous output into the new frames so the lazy
         # relay cannot elide or reorder any call
-        fr = base + prev * 1e-4
-        m, n = jl(fr)
+        m, n = jl(base, prev)
         if pcell[0] is None or it[0] % anchor_every == 0:
-            pcell[0] = ja(anchor_in + prev[:n_anchor] * 1e-4)
+            pcell[0] = ja(anchor_in, prev)
         it[0] += 1
         p1, p2, p3 = pcell[0]
-        rep = lambda a: jnp.concatenate([a] * ((batch + n_anchor - 1) // n_anchor))[:batch]
-        out = jr(m, n, jnp.roll(n, 1, axis=0), rep(p1), rep(p2), rep(p3), hs)
+        out = jr(m, n, p1, p2, p3, hs)
         return out
 
     if os.environ.get("BENCH_DEBUG_PHASES"):
         # phase-time the first calls with bench's own spellings (so the
         # persistent-cache keys are exactly the measured programs')
         import jax as _jax
+        prev_dbg = jnp.zeros((batch, 3, h, w), jnp.float32)
         t = time.time()
-        m, n = jl(base)
+        m, n = jl(base, prev_dbg)
         _jax.block_until_ready((m, n))
         print(f"# legs first: {time.time()-t:.1f}s", file=sys.stderr)
         t = time.time()
-        ps = ja(anchor_in)
+        ps = ja(anchor_in, prev_dbg)
         _jax.block_until_ready(ps)
         print(f"# anchor first: {time.time()-t:.1f}s", file=sys.stderr)
-        rep = lambda a: jnp.concatenate([a] * ((batch + n_anchor - 1) // n_anchor))[:batch]
         t = time.time()
-        out = jr(m, n, jnp.roll(n, 1, axis=0), rep(ps[0]), rep(ps[1]),
-                 rep(ps[2]), hs)
+        out = jr(m, n, ps[0], ps[1], ps[2], hs)
         _jax.block_until_ready(out)
         print(f"# restore first: {time.time()-t:.1f}s", file=sys.stderr)
 

@@ -148,8 +148,15 @@ class Inference:
                                                       self.batch_stats, x)
         if self.cache_pyramids:
             mv = self._make_variables
-            self._jit_legs = jax.jit(lambda p, b, f: self.model.apply(
-                mv(p, b), _c(f), method=SPEINet.encode_window_legs))
+            # legs returns PER-FRAME slices from inside the program (the
+            # cache stores per-frame features; un-jitted m[k:k+1] slicing
+            # was 2 extra device dispatches per frame)
+            def _legs_split(p, b, f):
+                m, n = self.model.apply(mv(p, b), _c(f),
+                                        method=SPEINet.encode_window_legs)
+                return tuple((m[k : k + 1], n[k : k + 1])
+                             for k in range(f.shape[0]))
+            self._jit_legs = jax.jit(_legs_split)
             self._jit_anchor = jax.jit(lambda p, b, f: self.model.apply(
                 mv(p, b), f, method=SPEINet.anchor_pyramid))
             # one restore program per host-known routing mode (the reference
@@ -157,12 +164,21 @@ class Inference:
             # chunk skips the SelfTransfer compute, an all-self chunk skips
             # the gather_folds; 'mixed' handles any split. Compiled lazily
             # on first use.
+            # the per-window cached slices enter as TUPLES and are
+            # concatenated INSIDE the program: 6 host-level jnp.concatenate
+            # dispatches per chunk (~600 MB of relay round-trips at bw=8,
+            # p1 alone is 8 x [1,720,1280,32]) become on-device ops XLA
+            # fuses with their consumers. Tuple length == batch_windows is
+            # static, so each routing still compiles exactly once.
+            cat = lambda parts: (parts[0] if len(parts) == 1
+                                 else jnp.concatenate(parts))
             self._jit_restore_by_routing = {
                 routing: jax.jit(
                     lambda p, b, m, n0, n1, p1, p2, p3, hs,
                     _r=routing: self.model.apply(
-                        mv(p, b), _c(m), (_c(n0), _c(n1)), _c(p1), _c(p2),
-                        _c(p3), _c(hs), routing=_r,
+                        mv(p, b), _c(cat(m)), (_c(cat(n0)), _c(cat(n1))),
+                        _c(cat(p1)), _c(cat(p2)),
+                        _c(cat(p3)), _c(hs), routing=_r,
                         method=SPEINet.restore_from_features))
                 for routing in ("mixed", "sharp", "self")}
             self._jit_restore = self._jit_restore_by_routing["mixed"]
@@ -285,10 +301,10 @@ class Inference:
                 chunk = need[:bw]
                 batch = chunk + [chunk[-1]] * (bw - len(chunk))
                 arr = np.stack([decoded[p].result() for p in batch])
-                m, n = self._jit_legs(self.params, self.batch_stats,
+                outs = self._jit_legs(self.params, self.batch_stats,
                                       jnp.asarray(arr))
                 for k, p in enumerate(chunk):
-                    feat[p] = (m[k : k + 1], n[k : k + 1])
+                    feat[p] = outs[k]
                 need = need[bw:]
 
         def ensure_anchor(key):
@@ -322,12 +338,12 @@ class Inference:
             for w in wins:
                 ensure_anchor(metas[w][3])
             idxs = wins + [wins[-1]] * (bw - len(wins))
-            m_b = jnp.concatenate([feat[metas[i][0]][0] for i in idxs])
-            n0_b = jnp.concatenate([feat[metas[i][1][0]][1] for i in idxs])
-            n1_b = jnp.concatenate([feat[metas[i][1][1]][1] for i in idxs])
-            p1_b = jnp.concatenate([anchors[metas[i][3]][0] for i in idxs])
-            p2_b = jnp.concatenate([anchors[metas[i][3]][1] for i in idxs])
-            p3_b = jnp.concatenate([anchors[metas[i][3]][2] for i in idxs])
+            m_b = tuple(feat[metas[i][0]][0] for i in idxs)
+            n0_b = tuple(feat[metas[i][1][0]][1] for i in idxs)
+            n1_b = tuple(feat[metas[i][1][1]][1] for i in idxs)
+            p1_b = tuple(anchors[metas[i][3]][0] for i in idxs)
+            p2_b = tuple(anchors[metas[i][3]][1] for i in idxs)
+            p3_b = tuple(anchors[metas[i][3]][2] for i in idxs)
             hs_host = np.array([metas[i][2] for i in idxs], bool)
             hs_b = jnp.asarray(hs_host)
             routing = ("sharp" if hs_host.all()
