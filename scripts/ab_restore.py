@@ -216,6 +216,32 @@ def main():
         return lr_n.astype(dt) + 0 * ref_n[:, :1, :1, None].sum(), ref_n
     slope(chain(lambda t: _prep(t)[0]), m_feat, f"corr prep x{batch}")
 
+    # raw-unfold prep (SPEINET_CORR_RAW path): no f32 normalize, no
+    # [B, Lr, D] transpose; inv-norms via the 3x3 box filter
+    from speinet_tpu.models.search_transfer import _patch_inv_norms
+
+    def _prep_raw(x):
+        lr_u = unfold(x.transpose(0, 3, 1, 2), 3, 1, 1).astype(dt)
+        inv_lr = _patch_inv_norms(x)
+        ref_u = unfold(s3.transpose(0, 3, 1, 2), 3, 1, 1)
+        inv_ref = _patch_inv_norms(s3)
+        ref_sc = ref_u.astype(dt) * inv_ref[:, None, :].astype(dt)
+        return lr_u + 0 * inv_lr[:, :1, None], ref_sc
+    slope(chain(lambda t: _prep_raw(t)[0]), m_feat, f"corr prep RAW x{batch}")
+
+    # correlation kernels head-to-head at 720p-lv3 geometry
+    from speinet_tpu.ops.pallas_corr import (correlation_argmax_pallas,
+                                             correlation_argmax_pallas_ld)
+    d_ = 4 * f * 9
+    l_ = h4 * w4
+    lr_n_ = mk((batch, d_, l_))
+    ref_n_ = mk((batch, l_, d_))
+    ref_ld_ = mk((batch, d_, l_))
+    slope(chain(lambda t: correlation_argmax_pallas(t, ref_n_)[0]), lr_n_,
+          f"corr kernel [Lr,D] x{batch}")
+    slope(chain(lambda t: correlation_argmax_pallas_ld(t, ref_ld_)[0]), lr_n_,
+          f"corr kernel LD x{batch}")
+
     # ---------------- gather_folds
     idx = jnp.asarray(
         np.random.default_rng(0).integers(0, h4 * w4, (batch, h4 * w4)),

@@ -210,8 +210,18 @@ def main():
                 model_blurry.append(float(m.group(2)))
     model_blurry_psnr = float(np.mean(model_blurry)) if model_blurry else None
 
+    # true trained extent (the --steps flag only sizes ONE epoch; resumed
+    # runs accumulate many): epochs from the training log
+    n_epochs = 0
+    logp = os.path.join(exp, "run", "log.txt")
+    if os.path.exists(logp):
+        import re as _re
+        eps = [int(m.group(1)) for m in
+               _re.finditer(r"Epoch\s+(\d+) ", open(logp).read())]
+        n_epochs = max(eps) if eps else 0
     summary = {
-        "steps": args.steps, "batch": args.batch,
+        "steps": args.steps, "epochs_trained": n_epochs,
+        "batch": args.batch,
         "train_wall_sec": round(train_sec, 1),
         "blurry_input_psnr_all_finite": round(blurry_psnr, 3),
         "blurry_input_psnr_blurry_frames": round(blurry_only_psnr, 3),
