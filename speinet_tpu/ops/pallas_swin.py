@@ -194,7 +194,7 @@ def fused_ln_mlp(x: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2, b2,
 
 def _attn_compact(q, kv, bias4_ref, mask, *, n: int, group_w: int,
                   heads: int, quad_h: int, c: int, hd: int,
-                  groups_per_stream: int):
+                  groups_per_stream: int, ablate: str = ""):
     """Column-grouped, head-quad-packed window attention.
 
     q, kv: [M, C] / [M, 2C] rows in (stream, window, token) order. Scores
@@ -245,7 +245,10 @@ def _attn_compact(q, kv, bias4_ref, mask, *, n: int, group_w: int,
             s = jax.lax.dot_general(q4, ks, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             s = s + (bias4_ref[qd] + mt if mask is not None else bias4_ref[qd])
-            p = jax.nn.softmax(s, axis=-1).astype(dtype)
+            if ablate == "nosoftmax":   # timing diagnostic: WRONG numbers
+                p = (s * 0.01).astype(dtype)
+            else:
+                p = jax.nn.softmax(s, axis=-1).astype(dtype)
             o4 = jax.lax.dot_general(p, vs, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             o4 = o4 * hsel
@@ -281,7 +284,7 @@ def _block_kernel(x_ref, y_ref, ls1_ref, lb1_ref, wkv_ref, bkv_ref, wq_ref,
                   lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, ws: int,
                   g: int, s_batch: int, heads: int, scale: float,
                   has_mask: bool, compact: bool = False, group_w: int = 1,
-                  quad_h: int = 1):
+                  quad_h: int = 1, ablate: str = ""):
     """One FULL Swin block (attn + both residuals + LN2 + MLP) per grid
     step, for `s_batch` batch entries of one window row-group at once:
 
@@ -309,19 +312,24 @@ def _block_kernel(x_ref, y_ref, ls1_ref, lb1_ref, wkv_ref, bkv_ref, wq_ref,
 
     xw_raw = partition(x_ref[:])
     yw_raw = partition(y_ref[:])
-    xw = _ln(xw_raw, ls1_ref[:], lb1_ref[:]).astype(x_ref.dtype)
-    yw = _ln(yw_raw, ls1_ref[:], lb1_ref[:]).astype(y_ref.dtype)
+    if ablate == "noln":     # timing diagnostic only: WRONG numbers
+        xw, yw = xw_raw.astype(x_ref.dtype), yw_raw.astype(y_ref.dtype)
+    else:
+        xw = _ln(xw_raw, ls1_ref[:], lb1_ref[:]).astype(x_ref.dtype)
+        yw = _ln(yw_raw, ls1_ref[:], lb1_ref[:]).astype(y_ref.dtype)
 
     kv = jnp.dot(xw, wkv_ref[:], preferred_element_type=jnp.float32) + bkv_ref[:]
     q = jnp.dot(yw, wq_ref[:], preferred_element_type=jnp.float32) + bq_ref[:]
     q = (q * scale).astype(xw.dtype)
     kv = kv.astype(xw.dtype)
 
-    if compact:
+    if ablate == "noattn":   # skip scores/softmax/AV entirely
+        out = kv[:, :c]
+    elif compact:
         out = _attn_compact(
             q, kv, bias_ref, mask_ref[0, 0] if has_mask else None,
             n=n, group_w=group_w, heads=heads, quad_h=quad_h, c=c, hd=hd,
-            groups_per_stream=g // group_w).astype(xw.dtype)
+            groups_per_stream=g // group_w, ablate=ablate).astype(xw.dtype)
     else:
         if has_mask:
             # per-window shift/pad mask, identical for every stream: tile to
@@ -344,11 +352,17 @@ def _block_kernel(x_ref, y_ref, ls1_ref, lb1_ref, wkv_ref, bkv_ref, wq_ref,
     res = jnp.dot(out, wp_ref[:], preferred_element_type=jnp.float32) + bp_ref[:]
     x2 = xw_raw.astype(jnp.float32) + res          # first residual (f32)
 
-    xn2 = _ln(x2, ls2_ref[:], lb2_ref[:]).astype(xw.dtype)
-    hmid = jnp.dot(xn2, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
-    hmid = (0.5 * hmid * (1.0 + _erf(hmid * (2.0 ** -0.5)))).astype(xw.dtype)
-    y2 = jnp.dot(hmid, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
-    o = (x2 + y2).astype(o_ref.dtype)
+    if ablate == "nomlp":    # timing diagnostic only: WRONG numbers
+        o = x2.astype(o_ref.dtype)
+    else:
+        xn2 = _ln(x2, ls2_ref[:], lb2_ref[:]).astype(xw.dtype)
+        hmid = jnp.dot(xn2, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+        if ablate == "nogelu":
+            hmid = jnp.maximum(hmid, 0.0).astype(xw.dtype)
+        else:
+            hmid = (0.5 * hmid * (1.0 + _erf(hmid * (2.0 ** -0.5)))).astype(xw.dtype)
+        y2 = jnp.dot(hmid, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+        o = (x2 + y2).astype(o_ref.dtype)
 
     seg = o.reshape(s_batch, g, ws, ws, c).transpose(0, 2, 1, 3, 4)
     o_ref[:] = seg.reshape(s_batch, ws, g * ws, c)
@@ -427,10 +441,14 @@ def fused_swin_block(
         offblock = (1.0 - jnp.repeat(jnp.repeat(eye, n, axis=0), n, axis=1)) * (-1e9)
         bias_packed = bias_diag + offblock[None]
 
+    # SPEINET_SWIN_ABLATE in {noln, noattn, nosoftmax, nomlp, nogelu}:
+    # timing-only diagnostics that skip one stage (WRONG numbers; used by
+    # scripts/ab_swin4.py to decompose the block's time). Default "".
     kernel = functools.partial(_block_kernel, ws=ws, g=g, s_batch=s_batch,
                                heads=heads, scale=scale, has_mask=has_mask,
                                compact=compact, group_w=group_w,
-                               quad_h=quad_h)
+                               quad_h=quad_h,
+                               ablate=os.environ.get("SPEINET_SWIN_ABLATE", ""))
     grid = (b // s_batch, hp // ws, wpx // (g * ws))
     gws = g * ws
     dtype = x.dtype
