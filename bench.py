@@ -56,7 +56,8 @@ def _aot_ver(batch: int, h: int, w: int) -> str:
                       "SPEINET_SWIN_QH", "SPEINET_MLP_TL",
                       "SPEINET_NO_FUSED", "BENCH_SHARP_RATIO",
                       "SPEINET_CORR_RAW", "SPEINET_CORR_TL",
-                      "SPEINET_CORR_TK"))
+                      "SPEINET_CORR_TK", "SPEINET_CORR_SCALED",
+                      "SPEINET_GF_SEG9"))
     h_self = hashlib.sha256()
     with open(os.path.abspath(__file__), "rb") as f:
         h_self.update(f.read())

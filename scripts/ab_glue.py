@@ -38,19 +38,38 @@ def main():
     idx = jnp.asarray(rng.integers(0, l, (b, l)), jnp.int32)
 
     def timeit(name, fn, *args):
-        o = fn(*args)
-        jax.block_until_ready(o)
-        best = float("inf")
-        for _ in range(3):
+        """Chained timing with a host readback: the lazy relay elides
+        repeated independent calls and returns from block_until_ready
+        early, so each iteration mixes the previous output into the first
+        argument INSIDE the jitted program (an un-jitted 30 MB mix add is
+        its own ~2 ms relay dispatch) and the loop ends with float(sum)."""
+        def leaf(o):
+            while isinstance(o, (tuple, list)):
+                o = o[0]
+            return o
+
+        @jax.jit
+        def step(prev, a):
+            v = jnp.mean(leaf(prev).astype(jnp.float32)).astype(a[0].dtype)
+            return fn(a[0] + v * 1e-6, *a[1:])
+
+        o = step(args[0], args)
+        float(leaf(o).astype(jnp.float32).sum())
+
+        def run(k):
+            o = step(args[0], args)
             t0 = time.time()
-            for _ in range(iters):
-                o = fn(*args)
-            jax.block_until_ready(o)
-            best = min(best, (time.time() - t0) / iters)
+            for _ in range(k):
+                o = step(o, args)
+            float(leaf(o).astype(jnp.float32).sum())
+            return time.time() - t0
+
+        best = min(run(iters) for _ in range(3)) / iters
         print(f"{name:<42s} {best*1000:8.2f} ms", flush=True)
         return best
 
-    from speinet_tpu.ops.patch_ops import gather_fold_nhwc, unfold
+    from speinet_tpu.ops.patch_ops import (gather_fold_nhwc,
+                                           gather_fold_nhwc_seg9, unfold)
     from speinet_tpu.models.search_transfer import _patch_inv_norms
 
     # 1. lr-side prep: unfold to [B, D, L]
@@ -74,6 +93,12 @@ def main():
                          ("lv1 s=4", s1, 4)):
         jg = jax.jit(lambda r, i, s=s: gather_fold_nhwc(r, i, s) / 9.0)
         timeit(f"gather_fold {name}", jg, ref, idx)
+
+    # 4b. seg9 variant (one L-row patch gather instead of 9L tile rows)
+    for name, ref, s in (("lv3 s=1", s3, 1), ("lv2 s=2", s2, 2),
+                         ("lv1 s=4", s1, 4)):
+        jg = jax.jit(lambda r, i, s=s: gather_fold_nhwc_seg9(r, i, s) / 9.0)
+        timeit(f"gather_fold_seg9 {name}", jg, ref, idx)
 
     # 5. the raw take_along_axis gather alone at lv1 geometry
     def gather_only(ref, index):

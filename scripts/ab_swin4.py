@@ -56,21 +56,24 @@ def main():
         os.environ["SPEINET_SWIN_ABLATE"] = ablate
 
         @jax.jit
-        def f(x_, y_):
+        def f(x_, prev):
+            # chain-mix INSIDE the jitted program: an un-jitted 59 MB add is
+            # its own relay dispatch (~3 ms) that would swamp the kernel
             return pallas_swin.fused_swin_block(
-                x_, y_, ln1s, ln1b, wkv, bkv, wq, bq, wp, bp, bias,
+                x_ + prev * jnp.asarray(1e-6, dt), y,
+                ln1s, ln1b, wkv, bkv, wq, bq, wp, bp, bias,
                 ln2s, ln2b, w1, b1, w2, b2,
                 ws=ws, shift=shift, pad_h=0, pad_w=0, heads=heads)
 
-        o = f(x, y)
-        jax.block_until_ready(o)
+        o = f(x, jnp.zeros_like(x))
+        float(o.astype(jnp.float32).sum())   # real readback (lazy relay)
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
             prev = o
             for _ in range(iters):
-                prev = f(x + prev * jnp.asarray(1e-6, dt), y)
-            jax.block_until_ready(prev)
+                prev = f(x, prev)
+            float(prev.astype(jnp.float32).sum())
             best = min(best, (time.time() - t0) / iters)
         print(f"{name:<28s} {best*1000:8.3f} ms", flush=True)
         os.environ["SPEINET_SWIN_ABLATE"] = ""
@@ -85,17 +88,18 @@ def main():
     xt = mk(b, h4 * w4, c)
 
     @jax.jit
-    def fm(x_):
-        return pallas_swin.fused_ln_mlp(x_, ln2s, ln2b, w1, b1, w2, b2)
-    o = fm(xt)
-    jax.block_until_ready(o)
+    def fm(x_, prev):
+        return pallas_swin.fused_ln_mlp(x_ + prev * jnp.asarray(1e-6, dt),
+                                        ln2s, ln2b, w1, b1, w2, b2)
+    o = fm(xt, jnp.zeros_like(xt))
+    float(o.astype(jnp.float32).sum())
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         prev = o
         for _ in range(iters):
-            prev = fm(xt + prev * jnp.asarray(1e-6, dt))
-        jax.block_until_ready(prev)
+            prev = fm(xt, prev)
+        float(prev.astype(jnp.float32).sum())
         best = min(best, (time.time() - t0) / iters)
     print(f"{'fused_ln_mlp alone':<28s} {best*1000:8.3f} ms", flush=True)
 

@@ -155,7 +155,8 @@ class TransferUnit(nn.Module):
             # skips both [B, D, L] f32 normalize materializations and the
             # [B, Lr, D] host transpose of the old prep (~2 GB of HBM
             # traffic per 720p frame).
-            from speinet_tpu.ops.pallas_corr import correlation_argmax_pallas_ld
+            from speinet_tpu.ops.pallas_corr import (
+                correlation_argmax_pallas_ld, correlation_argmax_pallas_lds)
 
             lr_u = unfold(lr_nchw, 3, 1, 1)                    # [B, D, L]
             inv_lr = _patch_inv_norms(f_fusion)                # [B, L] f32
@@ -181,10 +182,18 @@ class TransferUnit(nn.Module):
                 sel = has_sharp[:, None, None]
                 ref_u = jnp.where(sel, ref_search, ref_self)
                 inv_ref = jnp.where(has_sharp[:, None], inv_search, inv_self)
-            ref_sc = ref_u.astype(self.dtype) * inv_ref[:, None, :].astype(
-                self.dtype)
-            s, idx = correlation_argmax_pallas_ld(lr_u.astype(self.dtype),
-                                                  ref_sc)
+            if os.environ.get("SPEINET_CORR_SCALED", "1") == "1":
+                # per-row scale applied inside the kernel (the bf16 cast of
+                # inv_ref matches the old host-side multiply bit-for-bit;
+                # saves the [B, D, Lr] scaled-copy materialization)
+                s, idx = correlation_argmax_pallas_lds(
+                    lr_u.astype(self.dtype), ref_u.astype(self.dtype),
+                    inv_ref)
+            else:
+                ref_sc = ref_u.astype(self.dtype) * inv_ref[:, None, :].astype(
+                    self.dtype)
+                s, idx = correlation_argmax_pallas_ld(lr_u.astype(self.dtype),
+                                                      ref_sc)
             s = s * inv_lr
         else:
             lr_unfold = unfold(lr_nchw, 3, 1, 1)              # [B, D, L]

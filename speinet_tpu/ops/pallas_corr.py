@@ -144,6 +144,40 @@ def _corr_kernel_ld(lr_ref, ref_ref, s_ref, idx_ref, best, best_idx, *,
         idx_ref[0, 0] = best_idx[0]
 
 
+def _corr_kernel_lds(lr_ref, ref_ref, inv_ref, s_ref, idx_ref, best,
+                     best_idx, *, tk: int, l_ref_true: int):
+    """_corr_kernel_ld with the per-reference-row scale applied IN-KERNEL:
+    the block's ref columns are multiplied by inv (cast to the operand
+    dtype — bit-identical to the old host-side `ref * inv` bf16 multiply)
+    before the dot. Saves the [B, D, Lr] scaled-copy materialization of
+    the raw-unfold path (measured ~11 ms/frame of pure HBM churn at 720p,
+    scripts/ab_glue.py 'ref prep')."""
+    k = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        best[:] = jnp.full_like(best, -jnp.inf)
+        best_idx[:] = jnp.zeros_like(best_idx)
+
+    scaled = ref_ref[0] * inv_ref[0].astype(ref_ref.dtype)     # [D, TK]*[1, TK]
+    r = jax.lax.dot_general(scaled, lr_ref[0], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)   # [TK, TL]
+    row_ids = k * tk + jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
+    r = jnp.where(row_ids < l_ref_true, r, -jnp.inf)
+
+    cmax = jnp.max(r, axis=0)
+    carg = jnp.argmax(r, axis=0).astype(jnp.int32) + k * tk
+    upd = cmax > best[0]
+    best[0] = jnp.where(upd, cmax, best[0])
+    best_idx[0] = jnp.where(upd, carg, best_idx[0])
+
+    @pl.when(k == n_k - 1)
+    def _():
+        s_ref[0, 0] = best[0]
+        idx_ref[0, 0] = best_idx[0]
+
+
 def _corr_impl_ld(lr: jnp.ndarray, ref_ld: jnp.ndarray,
                   tl: int | None = None, tk: int | None = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -197,6 +231,104 @@ def _corr_impl_ld(lr: jnp.ndarray, ref_ld: jnp.ndarray,
         ),
     )(lr_p, ref_p)
     return s[:, 0, :l], idx[:, 0, :l]
+
+
+def _corr_impl_lds(lr: jnp.ndarray, ref_ld: jnp.ndarray, inv_ref: jnp.ndarray,
+                   tl: int | None = None, tk: int | None = None
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """lr: [B, D, L]; ref_ld: [B, D, Lr] RAW; inv_ref: [B, Lr] f32 per-row
+    scale. Returns (S, idx) of max_k inv_k * <ref_k, lr_i> — equal to
+    _corr_impl_ld(lr, ref_ld * inv_ref[:, None, :]) without materializing
+    the scaled copy."""
+    import os
+
+    if tl is None:
+        tl = int(os.environ.get("SPEINET_CORR_TL", "512"))
+    if tk is None:
+        tk = int(os.environ.get("SPEINET_CORR_TK", "512"))
+    b, d, l = lr.shape
+    l_ref = ref_ld.shape[2]
+    lp = -(-l // tl) * tl
+    kp = -(-l_ref // tk) * tk
+    lr_p = jnp.pad(lr, ((0, 0), (0, 0), (0, lp - l)))
+    ref_p = jnp.pad(ref_ld, ((0, 0), (0, 0), (0, kp - l_ref)))
+    inv_p = jnp.pad(inv_ref.astype(jnp.float32), ((0, 0), (0, kp - l_ref)))
+    inv_p = inv_p.reshape(b, 1, kp)
+
+    kernel = functools.partial(_corr_kernel_lds, tk=tk, l_ref_true=l_ref)
+    grid = (b, lp // tl, kp // tk)
+    s, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, tl), lambda bi, li, ki: (bi, 0, li),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, tk), lambda bi, li, ki: (bi, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk), lambda bi, li, ki: (bi, 0, ki),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tl), lambda bi, li, ki: (bi, 0, li),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tl), lambda bi, li, ki: (bi, 0, li),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, lp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, lp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tl), jnp.float32),
+            pltpu.VMEM((1, tl), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * lp * kp * d,
+            bytes_accessed=(b * d * lp + b * d * kp) * lr.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(lr_p, ref_p, inv_p)
+    return s[:, 0, :l], idx[:, 0, :l]
+
+
+@jax.custom_vjp
+def correlation_argmax_pallas_lds(lr: jnp.ndarray, ref_ld: jnp.ndarray,
+                                  inv_ref: jnp.ndarray
+                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scaled-row twin of correlation_argmax_pallas_ld: the per-row scale
+    inv_ref (the reference-side cosine norm) is applied inside the kernel.
+    torch.max subgradient through the winning row, with the scale treated
+    as part of the row (product rule gives the inv_ref cotangent)."""
+    return _corr_impl_lds(lr, ref_ld, inv_ref)
+
+
+def _corr_lds_fwd(lr, ref_ld, inv_ref):
+    s, idx = _corr_impl_lds(lr, ref_ld, inv_ref)
+    return (s, idx), (lr, ref_ld, inv_ref, s, idx)
+
+
+def _corr_lds_bwd(res, g):
+    lr, ref_ld, inv_ref, s, idx = res
+    gs = g[0].astype(jnp.float32)                           # [B, L]
+    sel = jnp.take_along_axis(ref_ld, idx[:, None, :], axis=2)  # [B, D, L]
+    inv_sel = jnp.take_along_axis(inv_ref.astype(jnp.float32), idx, axis=1)
+    # S_i = inv_{k*} <ref_{k*}, lr_i>
+    d_lr = sel.astype(jnp.float32) * (inv_sel * gs)[:, None, :]
+    contrib = (lr.astype(jnp.float32)
+               * (inv_sel * gs)[:, None, :]).transpose(0, 2, 1)  # [B, L, D]
+    b = lr.shape[0]
+    bidx = jnp.arange(b)[:, None]
+    d_ref = jnp.zeros((b, ref_ld.shape[2], ref_ld.shape[1]), jnp.float32)
+    d_ref = d_ref.at[bidx, idx].add(contrib).transpose(0, 2, 1)
+    # d_inv_{k*} += <ref_{k*}, lr_i> g = (S_i / inv_{k*}) g  (inv > 0 always:
+    # it is 1/max(norm, eps))
+    d_inv = jnp.zeros_like(inv_ref, dtype=jnp.float32)
+    d_inv = d_inv.at[bidx, idx].add(s / jnp.maximum(inv_sel, 1e-30) * gs)
+    return (d_lr.astype(lr.dtype), d_ref.astype(ref_ld.dtype),
+            d_inv.astype(inv_ref.dtype))
+
+
+correlation_argmax_pallas_lds.defvjp(_corr_lds_fwd, _corr_lds_bwd)
 
 
 @jax.custom_vjp

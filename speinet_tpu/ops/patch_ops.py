@@ -71,7 +71,65 @@ def fold(
     return canvas[:, :, p : p + h_out, p : p + w_out]
 
 
-def gather_fold_nhwc(ref: jnp.ndarray, index: jnp.ndarray, stride: int) -> jnp.ndarray:
+def gather_fold_nhwc_seg9(ref: jnp.ndarray, index: jnp.ndarray,
+                          stride: int) -> jnp.ndarray:
+    """gather_fold_nhwc with the gather restructured to ONE row-gather of
+    whole 3x3-tile patches.
+
+    The tiles-layout gather reads 9L rows of s*s*C (9 sub-tile rows per
+    output position); XLA's TPU gather is row-count-bound (~30 GB/s
+    measured at 720p lv1 — scripts/ab_glue.py). Here the 9 (di, dj)
+    sub-tiles of every patch ORIGIN are pre-packed densely (XLA fuses the
+    9 shifted slices + relayout into one HBM pass) so the data-dependent
+    step is a single take_along_axis of L rows of 9*s*s*C — 9x fewer
+    gather rows for the same volume, and XLA runs it at 67-106 GB/s
+    (scripts/ab_gather.py). End-to-end the two layouts time within noise
+    (67.8 vs 67.9 ms for the full 3-scale glue, scripts/ab_glue.py): the
+    gather win is offset by the dense pre-pack HBM pass. seg9 is kept as
+    the default for its single data-dependent op and because its row
+    layout is the one a future fused gather+fold epilogue wants.
+    A Pallas scalar-prefetch row-gather alternative measured strictly
+    slower than XLA's gather on this layout (ops/pallas_gather.py)."""
+    s = stride
+    b, hh, ww, c = ref.shape
+    nh, nw = hh // s, ww // s
+    l = nh * nw
+    assert index.shape[-1] == l
+    refp = jnp.pad(ref, ((0, 0), (s, s), (s, s), (0, 0)))
+    t6 = refp.reshape(b, nh + 2, s, nw + 2, s, c)
+    # seg[b, i, j, di, dj] = padded-grid tile (i+di, j+dj): all 9 sub-tiles
+    # of the patch with origin (i, j) in one contiguous row; origins only
+    # ever come from argmax positions, i in 0..nh-1, j in 0..nw-1
+    parts = [t6[:, di : di + nh, :, dj : dj + nw].transpose(0, 1, 3, 2, 4, 5)
+             for di in range(3) for dj in range(3)]   # 9 x [b, nh, nw, s, s, c]
+    seg = jnp.stack(parts, axis=3)                    # [b, nh, nw, 9, s, s, c]
+    rows = seg.reshape(b, l, 9 * s * s * c)
+    g = jnp.take_along_axis(rows, index[:, :, None], axis=1)   # [b, L, 9ssc]
+    g = g.reshape(b, nh, nw, 3, 3, s, s, c).transpose(0, 3, 4, 1, 2, 5, 6, 7)
+    # identical overlap-add epilogue to gather_fold_nhwc below
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1),
+                     (0, 0), (0, 0), (0, 0)))
+    acc = None
+    for di in range(3):
+        for dj in range(3):
+            sl = gp[:, di, dj, 2 - di : 2 - di + nh, 2 - dj : 2 - dj + nw]
+            acc = sl if acc is None else acc + sl
+    return acc.transpose(0, 1, 3, 2, 4, 5).reshape(b, nh * s, nw * s, c)
+
+
+def gather_fold_nhwc(ref: jnp.ndarray, index: jnp.ndarray,
+                     stride: int) -> jnp.ndarray:
+    """Dispatch: seg9 single-gather layout (default; 9x fewer gather rows —
+    XLA's TPU gather is row-count-bound) or the original 9-row tiles layout
+    (SPEINET_GF_SEG9=0). Identical outputs (tests/test_ops_resize_patch.py)."""
+    import os
+
+    if os.environ.get("SPEINET_GF_SEG9", "1") == "1":
+        return gather_fold_nhwc_seg9(ref, index, stride)
+    return gather_fold_nhwc_tiles(ref, index, stride)
+
+
+def gather_fold_nhwc_tiles(ref: jnp.ndarray, index: jnp.ndarray, stride: int) -> jnp.ndarray:
     """Fused `bis(unfold(ref)) -> fold` of the texture-transfer step, NHWC.
 
     Equivalent to the reference chain (SearchTransfer.py:36-46):

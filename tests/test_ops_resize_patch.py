@@ -85,3 +85,19 @@ def test_gather_fold_matches_reference_chain(rng):
                       padding=p).numpy()
         got = np.asarray(gather_fold(jnp.asarray(ref), jnp.asarray(idx), s))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5, err_msg=f"s={s}")
+
+
+def test_gather_fold_seg9_matches_tiles(rng):
+    """Single-patch-row gather layout == original 9-row tiles layout."""
+    import jax.numpy as jnp
+    from speinet_tpu.ops.patch_ops import (gather_fold_nhwc_seg9,
+                                           gather_fold_nhwc_tiles)
+
+    for s, h, w, c in ((1, 12, 16, 5), (2, 12, 16, 4), (4, 16, 24, 3)):
+        nh, nw = h // s, w // s
+        ref = jnp.asarray(rng.random((2, h, w, c)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, nh * nw, (2, nh * nw)),
+                          dtype=jnp.int32)
+        a = gather_fold_nhwc_tiles(ref, idx, s)
+        b = gather_fold_nhwc_seg9(ref, idx, s)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

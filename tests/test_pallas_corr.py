@@ -176,3 +176,59 @@ def test_transfer_unit_raw_path_matches_fallback(rng, monkeypatch):
         for a, bb in zip(want, got):
             np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                        rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_lds_scaled_matches_host_scale(rng, monkeypatch):
+    """In-kernel row scale (lds) == host-side scaled-copy (ld) exactly."""
+    from jax.experimental import pallas as pl
+    import speinet_tpu.ops.pallas_corr as pc
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    b, d, l = 2, 32, 96
+    lr = jnp.asarray(rng.random((b, d, l)).astype(np.float32))
+    ref = jnp.asarray(rng.random((b, d, l)).astype(np.float32))
+    inv = jnp.asarray(0.1 + rng.random((b, l)).astype(np.float32))
+    s1, i1 = pc._corr_impl_ld(lr, ref * inv[:, None, :], tl=32, tk=32)
+    s2, i2 = pc._corr_impl_lds(lr, ref, inv, tl=32, tk=32)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_pallas_lds_vjp_matches_host_scale(rng, monkeypatch):
+    """lds custom VJP == autodiff of ld with the scale applied outside."""
+    from jax.experimental import pallas as pl
+    import speinet_tpu.ops.pallas_corr as pc
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    b, d, l = 1, 16, 48
+    lr = jnp.asarray(rng.random((b, d, l)).astype(np.float32))
+    ref = jnp.asarray(rng.random((b, d, l)).astype(np.float32))
+    inv = jnp.asarray(0.1 + rng.random((b, l)).astype(np.float32))
+
+    def loss_ld(a, r, s):
+        out, _ = pc.correlation_argmax_pallas_ld(a, r * s[:, None, :])
+        return jnp.sum(out ** 2)
+
+    def loss_lds(a, r, s):
+        out, _ = pc.correlation_argmax_pallas_lds(a, r, s)
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(loss_ld, argnums=(0, 1, 2))(lr, ref, inv)
+    g2 = jax.grad(loss_lds, argnums=(0, 1, 2))(lr, ref, inv)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-5,
+                                   atol=1e-6)

@@ -97,3 +97,38 @@ def test_correlation_argmax_ld_lowered(rng):
                                rtol=2e-2, atol=2e-2)
     mismatch = np.mean(np.asarray(i_ref) != np.asarray(i_out))
     assert mismatch < 0.02
+
+
+def test_correlation_argmax_lds_lowered(rng):
+    """In-kernel-scaled (lds) correlation kernel on chip: must equal the
+    ld kernel run on a host-side scaled copy bit-for-bit (same dtype
+    path; only the multiply moves inside the kernel)."""
+    _require_tpu()
+    from speinet_tpu.ops.pallas_corr import (correlation_argmax_pallas_ld,
+                                             correlation_argmax_pallas_lds)
+
+    b, d, hw = 1, 256, 288
+    q = jnp.asarray(rng.standard_normal((b, d, hw)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((b, d, hw)).astype(np.float32))
+    inv = jnp.asarray(0.1 + rng.random((b, hw)).astype(np.float32))
+    s_ref, i_ref = correlation_argmax_pallas_ld(
+        q, r * inv[:, None, :].astype(r.dtype))
+    s_out, i_out = correlation_argmax_pallas_lds(q, r, inv)
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_out),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_out))
+
+
+def test_row_gather_lowered(rng):
+    """Scalar-prefetch row_gather kernel on chip == take_along_axis.
+    (Kept unwired — measured slower than XLA's gather, see
+    ops/pallas_gather.py — but the lowering stays guarded.)"""
+    _require_tpu()
+    from speinet_tpu.ops.pallas_gather import row_gather
+
+    b, t, r_ = 2, 64, 256
+    rows = jnp.asarray(rng.standard_normal((b, t, r_)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, t, (b, 40)), jnp.int32)
+    want = jnp.take_along_axis(rows, idx[:, :, None], axis=1)
+    got = row_gather(rows, idx, k=8)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
