@@ -1,11 +1,14 @@
 """A/B: Pallas scalar-prefetch row_gather vs XLA take_along_axis on TPU.
 
-Geometries = the seg9 gather_fold row layouts at 720p (B=2 window frames):
-  lv3 s=1: L=720*1280=921600  R=9*1*64   = 576   -> pad note: R%128 check
-  lv2 s=2: L=360*640 =230400  R=9*4*64   = 2304
-  lv1 s=4: L=180*320 = 57600  R=9*16*64  = 9216
+Geometries = the seg9 gather_fold row layouts at 720p (B=2 window frames),
+L = 180*320 = 57600 patch origins at every scale, R = 9*s*s*C:
+  lv3 (s=1, C=128): R=1152   lv2 (s=2, C=64): R=2304   lv1 (s=4, C=32): R=4608
 Checks bit-equality vs take_along_axis, then times both with the
 chained-readback harness (lazy axon relay elides independent repeats).
+
+Measured (v5e relay): take_along_axis 7.9/12.0/20.0 ms (67/88/106 GB/s);
+row_gather best-K 15.1/19.3/29.4 ms — the Pallas kernel LOSES at every
+scale; the shipped path stays seg9 + XLA gather.
 """
 import os
 import sys
