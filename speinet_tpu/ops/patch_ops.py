@@ -85,9 +85,10 @@ def gather_fold_nhwc_seg9(ref: jnp.ndarray, index: jnp.ndarray,
     gather rows for the same volume, and XLA runs it at 67-106 GB/s
     (scripts/ab_gather.py). End-to-end the two layouts time within noise
     (67.8 vs 67.9 ms for the full 3-scale glue, scripts/ab_glue.py): the
-    gather win is offset by the dense pre-pack HBM pass. seg9 is kept as
-    the default for its single data-dependent op and because its row
-    layout is the one a future fused gather+fold epilogue wants.
+    gather win is offset by the dense pre-pack HBM pass — and that pre-pack
+    is ~4.3 GB of transient HBM per scale at batch 8, which OOMs the 720p
+    restore program, so seg9 is OPT-IN (SPEINET_GF_SEG9=1), useful at small
+    batch and as the row layout a future fused gather+fold epilogue wants.
     A Pallas scalar-prefetch row-gather alternative measured strictly
     slower than XLA's gather on this layout (ops/pallas_gather.py)."""
     s = stride
@@ -119,12 +120,16 @@ def gather_fold_nhwc_seg9(ref: jnp.ndarray, index: jnp.ndarray,
 
 def gather_fold_nhwc(ref: jnp.ndarray, index: jnp.ndarray,
                      stride: int) -> jnp.ndarray:
-    """Dispatch: seg9 single-gather layout (default; 9x fewer gather rows —
-    XLA's TPU gather is row-count-bound) or the original 9-row tiles layout
-    (SPEINET_GF_SEG9=0). Identical outputs (tests/test_ops_resize_patch.py)."""
+    """Dispatch: 9-row tiles layout (default) or the seg9 single-gather
+    layout (SPEINET_GF_SEG9=1). Identical outputs
+    (tests/test_ops_resize_patch.py). seg9 gathers 9x fewer rows and was
+    end-to-end NEUTRAL at batch 2 (67.8 vs 67.9 ms, scripts/ab_glue.py),
+    but its dense [B, L, 9*s*s*C] pre-pack materializes ~4.3 GB per scale
+    at the bench batch 8 — the restore program OOMs HBM (21.6 G needed of
+    15.75 G) — so the low-footprint tiles layout is the default."""
     import os
 
-    if os.environ.get("SPEINET_GF_SEG9", "1") == "1":
+    if os.environ.get("SPEINET_GF_SEG9", "0") == "1":
         return gather_fold_nhwc_seg9(ref, index, stride)
     return gather_fold_nhwc_tiles(ref, index, stride)
 
