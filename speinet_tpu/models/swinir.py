@@ -280,6 +280,12 @@ class SwinBlock(nn.Module):
                  drop_rate=None):
         hh, ww = x_size
         b, l, c = x.shape
+        # y may arrive as (y, y_rolled): the Q-stream is constant across all
+        # 36 blocks, so SwinIRCross pre-rolls it ONCE instead of paying a
+        # full-tensor roll (2x HBM pass) inside each of the 18 SW blocks
+        y_rolled = None
+        if isinstance(y, (tuple, list)):
+            y, y_rolled = y
         ws, ss = self.window_size, self.shift_size
         if min(hh, ww) <= ws:       # parity: swinir.py:192-195
             ss = 0
@@ -303,14 +309,20 @@ class SwinBlock(nn.Module):
         # pad/roll the RAW images; norm1 runs inside the attention module
         # (LN is per-token, so it commutes with roll; padded tokens are
         # masked out of the softmax and cropped afterwards)
+        from speinet_tpu.ops.pallas_roll import roll2d
+
         xi = x.reshape(b, hh, ww, c)
-        yi = y.reshape(b, hh, ww, c)
-        if ph or pw:
-            xi = jnp.pad(xi, ((0, 0), (0, ph), (0, pw), (0, 0)))
-            yi = jnp.pad(yi, ((0, 0), (0, ph), (0, pw), (0, 0)))
-        if ss > 0:
-            xi = jnp.roll(xi, (-ss, -ss), axis=(1, 2))
-            yi = jnp.roll(yi, (-ss, -ss), axis=(1, 2))
+        if ss > 0 and y_rolled is not None and not (ph or pw):
+            yi = y_rolled.reshape(b, hh, ww, c)
+            xi = roll2d(xi, ss, ss)
+        else:
+            yi = y.reshape(b, hh, ww, c)
+            if ph or pw:
+                xi = jnp.pad(xi, ((0, 0), (0, ph), (0, pw), (0, 0)))
+                yi = jnp.pad(yi, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            if ss > 0:
+                xi = roll2d(xi, ss, ss)
+                yi = roll2d(yi, ss, ss)
 
         # single-kernel whole-block path: attention + both residuals + MLP
         # in ONE pallas_call (halves kernel launches and keeps the block's
@@ -333,7 +345,7 @@ class SwinBlock(nn.Module):
                 bias_hnn, ln2_scale, ln2_bias, w1, b1, w2, b2,
                 ws=ws, shift=ss, pad_h=ph, pad_w=pw, heads=self.num_heads)
             if ss > 0:
-                out = jnp.roll(out, (ss, ss), axis=(1, 2))
+                out = roll2d(out, -ss, -ss)
             if ph or pw:
                 out = out[:, :hh, :ww]
             return out.reshape(b, l, c)
@@ -355,7 +367,7 @@ class SwinBlock(nn.Module):
                        deterministic=deterministic, ln=(ln1_scale, ln1_bias))
 
         if ss > 0:
-            out = jnp.roll(out, (ss, ss), axis=(1, 2))
+            out = roll2d(out, -ss, -ss)
         if ph or pw:
             out = out[:, :hh, :ww]
         out = out.reshape(b, l, c)
@@ -491,13 +503,27 @@ class SwinIRCross(nn.Module):
         # stochastic-depth schedule over all blocks (swinir.py:691)
         total = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total).tolist()
+        # pre-roll the constant Q-stream once for all SW blocks (the blocks
+        # otherwise each pay a full-tensor roll; see SwinBlock). Only when
+        # the spatial dims are window-aligned (no pad, no window shrink) —
+        # the exact condition under which SwinBlock's per-block roll would
+        # use ss = window_size // 2 on the un-padded image.
+        ws = self.window_size
+        if min(hh, ww) > ws and hh % ws == 0 and ww % ws == 0:
+            ss = ws // 2
+            from speinet_tpu.ops.pallas_roll import roll2d
+            ye_sw = roll2d(ye.reshape(b, hh, ww, self.embed_dim),
+                           ss, ss).reshape(b, hh * ww, self.embed_dim)
+            y_in = (ye, ye_sw)
+        else:
+            y_in = ye
         feat = xe
         off = 0
         for li, depth in enumerate(self.depths):
             feat = RSTB(self.embed_dim, depth, self.num_heads[li],
                         self.window_size, self.mlp_ratio,
                         drop_path=dpr[off : off + depth], dtype=self.dtype,
-                        name=f"layer{li}")(feat, ye, (hh, ww), deterministic)
+                        name=f"layer{li}")(feat, y_in, (hh, ww), deterministic)
             off += depth
         feat = nn.LayerNorm(dtype=jnp.float32, name="norm")(feat).astype(self.dtype)
         feat = feat.reshape(b, hh, ww, self.embed_dim)
