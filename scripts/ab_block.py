@@ -83,6 +83,16 @@ def main():
         ("compact S2 G16 GW4 QH4", {"SPEINET_SWIN_G": "16"}),
         ("compact S1 G8 GW4 QH4", {"SPEINET_SWIN_G": "8",
                                    "SPEINET_SWIN_S": "1"}),
+        # compact packing's score waste is linear in the packing, so unlike
+        # the [sgn, sgn] path bigger S/G only cut grid steps (same issued
+        # FLOPs) until VMEM runs out
+        ("compact S4 G16 GW4 QH4", {"SPEINET_SWIN_G": "16",
+                                    "SPEINET_SWIN_S": "4"}),
+        ("compact S8 G16 GW4 QH4", {"SPEINET_SWIN_G": "16",
+                                    "SPEINET_SWIN_S": "8"}),
+        ("compact S2 G32 GW4 QH4", {"SPEINET_SWIN_G": "32"}),
+        ("compact S4 G32 GW4 QH4", {"SPEINET_SWIN_G": "32",
+                                    "SPEINET_SWIN_S": "4"}),
     ]
     if len(sys.argv) > 2:
         combos = [cc for cc in combos if any(s in cc[0] for s in sys.argv[2:])]
