@@ -105,12 +105,16 @@ def main():
         os.environ.update(env)
         for tag, blk, vv in (("W", block_w, variables_w),
                              ("SW", block_sw, variables_sw)):
+            # pass params/y as traced args: closed-over device arrays embed
+            # as HLO literals and at b>=16 overflow the relay's
+            # remote-compile request body (HTTP 413)
             @jax.jit
-            def step(t):
-                out = blk.apply(vv, t, y, (h, w), True)
+            def step_(t, yv, vvv):
+                out = blk.apply(vvv, t, yv, (h, w), True)
                 return (t * (1.0 + 1e-12 * jnp.mean(out.astype(jnp.float32))),
                         out)
 
+            step = lambda t: step_(t, y, vv)
             try:
                 per, comp = timeit(step, x, rb)
                 print(f"b={b} {name} [{tag}]: {per*1000:8.2f} ms "

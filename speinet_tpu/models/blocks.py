@@ -269,21 +269,33 @@ class FastConv(nn.Module):
         from speinet_tpu.models.swinir import _fused_enabled
 
         # the Pallas path pads a private copy of x (row blocks + halo), so
-        # cap it by input size: at 720p x batch 8 the three full-res
-        # refinement convs would transiently add ~3 GB of padded copies and
-        # OOM the 16 GB HBM; the >=half-res maps (search3 at lv2) fit
+        # cap the per-call transient by CHUNKING THE BATCH through the
+        # kernel (the conv is per-sample independent): at 720p x batch 8
+        # one call would transiently add ~0.5 GB of padded copy per conv
+        # (and the three full-res refinement convs together ~3 GB, OOMing
+        # the 16 GB HBM); sub-batch calls keep each transient under the
+        # budget while staying on the MXU path — the old whole-or-nothing
+        # gate silently routed every bench-batch refinement conv back to
+        # XLA's <10%-peak conv emitter
+        import os
+
         b, hh, ww, c = x.shape
-        fits = b * hh * ww * c * x.dtype.itemsize <= (256 << 20)
-        if k > 1 and not train and fits and _fused_enabled():
+        budget = int(os.environ.get("SPEINET_FASTCONV_MB", "256")) << 20
+        per_sample = hh * ww * c * x.dtype.itemsize
+        max_b = budget // max(per_sample, 1)
+        if k > 1 and not train and max_b >= 1 and _fused_enabled():
             from speinet_tpu.ops.pallas_conv import conv2d_mxu
 
             # bias pre-rounded to self.dtype so the f32 epilogue add and the
             # XLA fallback's self.dtype add see the same bias values across
             # the size-gated dispatch (ADVICE r3)
-            y = conv2d_mxu(x, kernel.astype(self.dtype),
-                           bias.astype(self.dtype).astype(jnp.float32),
-                           relu=relu, kcat=True)
-            return y
+            kd = kernel.astype(self.dtype)
+            bd = bias.astype(self.dtype).astype(jnp.float32)
+            if b <= max_b:
+                return conv2d_mxu(x, kd, bd, relu=relu, kcat=True)
+            parts = [conv2d_mxu(x[i : i + max_b], kd, bd, relu=relu,
+                                kcat=True) for i in range(0, b, max_b)]
+            return jnp.concatenate(parts, axis=0)
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(self.dtype), (1, 1), [(k // 2, k // 2)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias.astype(self.dtype)
