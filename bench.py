@@ -57,7 +57,8 @@ def _aot_ver(batch: int, h: int, w: int) -> str:
                       "SPEINET_NO_FUSED", "BENCH_SHARP_RATIO",
                       "SPEINET_CORR_RAW", "SPEINET_CORR_TL",
                       "SPEINET_CORR_TK", "SPEINET_CORR_SCALED",
-                      "SPEINET_GF_SEG9"))
+                      "SPEINET_GF_SEG9", "SPEINET_FASTCONV_MB",
+                      "SPEINET_CONVT_SUBPIXEL"))
     h_self = hashlib.sha256()
     with open(os.path.abspath(__file__), "rb") as f:
         h_self.update(f.read())

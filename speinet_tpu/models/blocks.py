@@ -269,21 +269,23 @@ class FastConv(nn.Module):
         from speinet_tpu.models.swinir import _fused_enabled
 
         # the Pallas path pads a private copy of x (row blocks + halo), so
-        # cap the per-call transient by CHUNKING THE BATCH through the
-        # kernel (the conv is per-sample independent): at 720p x batch 8
-        # one call would transiently add ~0.5 GB of padded copy per conv
-        # (and the three full-res refinement convs together ~3 GB, OOMing
-        # the 16 GB HBM); sub-batch calls keep each transient under the
-        # budget while staying on the MXU path — the old whole-or-nothing
-        # gate silently routed every bench-batch refinement conv back to
-        # XLA's <10%-peak conv emitter
+        # route through it only when the WHOLE batch fits the transient
+        # budget and fall back to XLA otherwise. Batch-chunking the Pallas
+        # call was measured SLOWER than the XLA conv at bench shapes
+        # (720p x batch 8 video mode: XLA 3.375 fps, chunked 3.230,
+        # whole-batch single call 3.271) — the per-chunk pad copies and
+        # output concat cost more than the conv-emitter inefficiency they
+        # avoid, and these refinement convs have only 32-64 output
+        # channels (25-50% MXU lane util) so the kcat matmul can't win
+        # big. Pallas keeps the small-batch/direct-mode shapes where the
+        # padded copy is cheap and the deep-K matmul measured faster.
         import os
 
         b, hh, ww, c = x.shape
         budget = int(os.environ.get("SPEINET_FASTCONV_MB", "256")) << 20
         per_sample = hh * ww * c * x.dtype.itemsize
-        max_b = budget // max(per_sample, 1)
-        if k > 1 and not train and max_b >= 1 and _fused_enabled():
+        if (k > 1 and not train and b * per_sample <= budget
+                and _fused_enabled()):
             from speinet_tpu.ops.pallas_conv import conv2d_mxu
 
             # bias pre-rounded to self.dtype so the f32 epilogue add and the
@@ -291,11 +293,7 @@ class FastConv(nn.Module):
             # the size-gated dispatch (ADVICE r3)
             kd = kernel.astype(self.dtype)
             bd = bias.astype(self.dtype).astype(jnp.float32)
-            if b <= max_b:
-                return conv2d_mxu(x, kd, bd, relu=relu, kcat=True)
-            parts = [conv2d_mxu(x[i : i + max_b], kd, bd, relu=relu,
-                                kcat=True) for i in range(0, b, max_b)]
-            return jnp.concatenate(parts, axis=0)
+            return conv2d_mxu(x, kd, bd, relu=relu, kcat=True)
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(self.dtype), (1, 1), [(k // 2, k // 2)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias.astype(self.dtype)

@@ -130,10 +130,11 @@ def test_full_speinet_fast_matches_xla(rng, fast_mode, monkeypatch):
     assert np.median(rel) < 1e-4
 
 
-def test_fastconv_batch_chunking_matches_single_call(rng, fast_mode,
-                                                     monkeypatch):
-    """FastConv's transient budget chunks the batch through the Pallas
-    kernel instead of falling back to XLA; chunked == one-call == XLA."""
+def test_fastconv_budget_gate_matches_across_paths(rng, fast_mode,
+                                                   monkeypatch):
+    """FastConv's transient budget gates the WHOLE batch through the
+    Pallas kernel or falls back to XLA (batch-chunking measured slower
+    at bench shapes); both dispatches agree numerically."""
     from speinet_tpu.models.blocks import FastConv
 
     conv = FastConv(8, 3, dtype=jnp.float32)
@@ -141,17 +142,16 @@ def test_fastconv_batch_chunking_matches_single_call(rng, fast_mode,
     variables = conv.init(jax.random.PRNGKey(3), x)
 
     one = np.asarray(conv.apply(variables, x, relu=True))
-    # budget of 0 MB -> max_b = 0 -> XLA fallback
+    # budget of 0 MB -> batch never fits -> XLA fallback
     monkeypatch.setenv("SPEINET_FASTCONV_MB", "0")
     xla = np.asarray(conv.apply(variables, x, relu=True))
-    # batch 9 at 256 KB/sample under a 1 MB budget -> max_b = 4, chunks 4+4+1
+    # batch 9 at 256 KB/sample = 2.25 MB > 1 MB budget -> XLA fallback
     x2 = jnp.asarray(rng.standard_normal((9, 64, 128, 8)).astype(np.float32))
     variables2 = conv.init(jax.random.PRNGKey(4), x2)
-    assert (1 << 20) // (64 * 128 * 8 * 4) == 4
     monkeypatch.setenv("SPEINET_FASTCONV_MB", "1")
-    chunked = np.asarray(conv.apply(variables2, x2, relu=True))
+    fell_back = np.asarray(conv.apply(variables2, x2, relu=True))
     monkeypatch.delenv("SPEINET_FASTCONV_MB")
     full = np.asarray(conv.apply(variables2, x2, relu=True))
 
     np.testing.assert_allclose(one, xla, rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(chunked, full, rtol=0, atol=0)
+    np.testing.assert_allclose(fell_back, full, rtol=2e-5, atol=2e-5)
