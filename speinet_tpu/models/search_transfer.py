@@ -156,10 +156,37 @@ class TransferUnit(nn.Module):
             # [B, Lr, D] host transpose of the old prep (~2 GB of HBM
             # traffic per 720p frame).
             from speinet_tpu.ops.pallas_corr import (
-                correlation_argmax_pallas_ld, correlation_argmax_pallas_lds)
+                banded_corr_argmax, correlation_argmax_pallas_ld,
+                correlation_argmax_pallas_lds)
 
-            lr_u = unfold(lr_nchw, 3, 1, 1)                    # [B, D, L]
             inv_lr = _patch_inv_norms(f_fusion)                # [B, L] f32
+            if (os.environ.get("SPEINET_CORR_BANDED", "1") == "1"
+                    and routing in ("sharp", "self")):
+                # banded fast path: 3 shifted C-deep matmuls + diagonal adds
+                # instead of the [TK, 9C] x [9C, TL] product — no unfold
+                # materializations at all (ops/pallas_corr.py banded
+                # section). Host-known routing only: the self reference
+                # lives on the TRANSPOSED grid (SearchTransfer.py:60), so a
+                # per-sample mixed batch cannot share one slab layout.
+                if routing == "sharp":
+                    ref_map = sharp_lv3
+                    inv_ref_map = _patch_inv_norms(sharp_lv3)
+                else:
+                    # x.transpose(2,3).flip(2) in map space; per-position
+                    # patch norms follow the same permutation
+                    ref_map = jnp.flip(jnp.swapaxes(f_fusion, 1, 2), axis=1)
+                    inv_ref_map = jnp.flip(
+                        inv_lr.reshape(b, hh, ww).transpose(0, 2, 1),
+                        axis=1).reshape(b, l)
+                s, idx = banded_corr_argmax(f_fusion.astype(self.dtype),
+                                            ref_map.astype(self.dtype),
+                                            inv_ref_map)
+                s = s * inv_lr
+                weight_s = s.reshape(b, hh, ww, 1)
+                return self._transfer_tail(
+                    f_fusion, sharp_lv1, sharp_lv2, sharp_lv3, has_sharp,
+                    routing, weight_s, idx)
+            lr_u = unfold(lr_nchw, 3, 1, 1)                    # [B, D, L]
             if routing != "sharp":
                 # SelfTransfer reference: pure permutation of the unfold
                 # (see the non-raw branch below); per-position norms follow
@@ -235,7 +262,14 @@ class TransferUnit(nn.Module):
                 s, idx = correlation_argmax(lr_n, ref_n, chunk=self.chunk)
 
         weight_s = s.reshape(b, hh, ww, 1)
+        return self._transfer_tail(f_fusion, sharp_lv1, sharp_lv2, sharp_lv3,
+                                   has_sharp, routing, weight_s, idx)
 
+    def _transfer_tail(self, f_fusion, sharp_lv1, sharp_lv2, sharp_lv3,
+                       has_sharp, routing, weight_s, idx):
+        """Texture transfer + per-sample routing select, shared by the
+        banded and unfold correlation paths (called from the compact
+        __call__, so the self_search conv submodules resolve normally)."""
         if routing != "self":
             # --- SearchTransfer texture path: gather+fold of the sharp
             # pyramid (NHWC throughout; bf16 when the model runs bf16)

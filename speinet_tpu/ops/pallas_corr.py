@@ -390,3 +390,239 @@ def _corr_bwd(res, g):
 
 
 correlation_argmax_pallas.defvjp(_corr_fwd, _corr_bwd)
+
+
+# --------------------------------------------------------------------------
+# Banded correlation: the 3x3-patch correlation decomposed into 3 shifted
+# C-deep matmuls + diagonal adds.
+#
+# The patch correlation R[p, q] = <unfold(F)[:, p], unfold(G)[:, q]> with
+# D = 9*C contracts each of the 9 patch offsets independently:
+#     R[p, q] = sum_{o in 3x3} <F[p + o], G[q + o]>     (zero-padded)
+# On a feature map padded with ONE zero column (width W -> W+1) and one
+# zero row top/bottom, a flattened-index shift by o = dy*(W+1) + dx lands
+# exactly where the spatial shift does (the pad column absorbs the row
+# wrap), so with C0[u, v] = <F_flat[u], G_flat[v]>:
+#     R[p, q] = sum_{dy} sum_{dx} C0[p + dy*(W+1) + dx, q + dy*(W+1) + dx]
+# Per tile this is 3 matmuls of depth C=128 over slabs offset by
+# (dy-1)*(W+1) — the dx sum collapses to 3 DIAGONAL adds of the
+# dy-summed [TK+2, TL+2] tile (the shift is independent of dy). vs the
+# flat [TK, 1152] x [1152, TL] step this cuts matmul FLOPs and ref/lr DMA
+# ~3x, and the [B, 9C, L] unfold materializations (~1 GB/side at 720p
+# batch 8) disappear entirely — the kernel consumes window slabs built
+# straight from the [B, H, W, C] maps.
+#
+# Parity: identical math to correlation_argmax on the same maps (summation
+# order differs => f32-accumulation rounding differs; argmax ties can in
+# principle resolve differently, never observed in tests). Reference
+# semantics: SearchTransfer.py:26-34 (unfold 3x3, pad 1, cosine scores).
+# --------------------------------------------------------------------------
+
+
+def _corr_kernel_banded(lr_ref, ref_ref, inv_ref, msk_ref, s_ref, idx_ref,
+                        best, best_idx, *, tk: int, tl: int):
+    k = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        best[:] = jnp.full_like(best, -jnp.inf)
+        best_idx[:] = jnp.zeros_like(best_idx)
+
+    csum = None
+    for dy in range(3):
+        c0 = jax.lax.dot_general(ref_ref[0, 0, dy], lr_ref[0, 0, dy],
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        csum = c0 if csum is None else csum + c0            # [TK+2, TL+2]
+    # dx in {-1, 0, 1}: diagonal slices of the dy-summed tile
+    r = (csum[0:tk, 0:tl] + csum[1:tk + 1, 1:tl + 1]
+         + csum[2:tk + 2, 2:tl + 2])
+    # per-ref-row cosine scale + validity mask (pad columns / tail): both
+    # arrive as [TK, 1] sublane vectors so the broadcast needs no relayout
+    r = r * inv_ref[0] + msk_ref[0]
+
+    cmax = jnp.max(r, axis=0)
+    carg = jnp.argmax(r, axis=0).astype(jnp.int32) + k * tk
+    upd = cmax > best[0]
+    best[0] = jnp.where(upd, cmax, best[0])
+    best_idx[0] = jnp.where(upd, carg, best_idx[0])
+
+    @pl.when(k == n_k - 1)
+    def _():
+        s_ref[0, 0] = best[0]
+        idx_ref[0, 0] = best_idx[0]
+
+
+def _banded_windows(x_nhwc: jnp.ndarray, t: int, dtype) -> jnp.ndarray:
+    """[B, H, W, C] map -> [B, n, 3, C, t+2] window slabs over the padded
+    flat index space (width W+1, one zero row top/bottom): slab (k, dy)
+    covers flat positions k*t + (dy-1)*(W+1) - 1 ... + t+2 relative to the
+    first interior pixel."""
+    b, h, w, c = x_nhwc.shape
+    wp = w + 1
+    lq = h * wp
+    n = -(-lq // t)
+    xp = jnp.pad(x_nhwc.astype(dtype), ((0, 0), (1, 1), (0, 1), (0, 0)))
+    flat = xp.transpose(0, 3, 1, 2).reshape(b, c, (h + 2) * wp)
+    # front pad 1 (dy=0, k=0 slab starts at flat index -1); tail pad so the
+    # largest slab (dy=2) fits
+    need = 1 + 2 * wp + n * t + 2
+    flatp = jnp.pad(flat, ((0, 0), (0, 0),
+                           (1, max(0, need - 1 - (h + 2) * wp))))
+    slabs = []
+    for dy in range(3):
+        seg = jax.lax.slice_in_dim(flatp, dy * wp, dy * wp + n * t + 2,
+                                   axis=2)
+        main = seg[:, :, : n * t].reshape(b, c, n, t)
+        ext = jnp.pad(seg[:, :, t:], ((0, 0), (0, 0), (0, t - 2)))
+        ext = ext[:, :, : n * t].reshape(b, c, n, t)[:, :, :, :2]
+        slabs.append(jnp.concatenate([main, ext], axis=3))  # [b, c, n, t+2]
+    return jnp.stack(slabs, axis=2).transpose(0, 3, 2, 1, 4)
+
+
+def _banded_aux(h: int, w: int, kp: int) -> np.ndarray:
+    """Additive validity mask [1, kp, 1] f32 over the padded ref index
+    space: 0 on real positions, -1e30 on pad columns / tail."""
+    wp = w + 1
+    ids = np.arange(kp)
+    valid = (ids < h * wp) & (ids % wp < w)
+    return np.where(valid, 0.0, -1e30).astype(np.float32)[None, :, None]
+
+
+def _corr_impl_banded(lr_map: jnp.ndarray, ref_map: jnp.ndarray,
+                      inv_ref: jnp.ndarray, tl: int | None = None,
+                      tk: int | None = None
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """lr_map: [B, H, W, C] query features; ref_map: [B, Hr, Wr, C]
+    reference features; inv_ref: [B, Hr*Wr] f32 per-position patch inverse
+    norms. Returns (S [B, H*W] f32 of max_q inv_q * R[p, q], idx [B, H*W]
+    int32 into the ORIGINAL row-major Hr*Wr reference space)."""
+    import os
+
+    if tl is None:
+        tl = int(os.environ.get("SPEINET_CORR_BTL",
+                                os.environ.get("SPEINET_CORR_TL", "512")))
+    if tk is None:
+        tk = int(os.environ.get("SPEINET_CORR_BTK",
+                                os.environ.get("SPEINET_CORR_TK", "512")))
+    b, h, w, c = lr_map.shape
+    hr, wr = ref_map.shape[1:3]
+    dtype = lr_map.dtype
+    lq = h * (w + 1)
+    lk = hr * (wr + 1)
+    n_l = -(-lq // tl)
+    n_k = -(-lk // tk)
+    lr_w = _banded_windows(lr_map, tl, dtype)          # [b, n_l, 3, c, tl+2]
+    ref_w = _banded_windows(ref_map, tk, dtype)        # [b, n_k, 3, c, tk+2]
+    # inv norms scattered into the padded layout (pad cols get 0, masked)
+    inv_p = jnp.pad(inv_ref.astype(jnp.float32).reshape(b, hr, wr),
+                    ((0, 0), (0, 0), (0, 1))).reshape(b, lk)
+    inv_p = jnp.pad(inv_p, ((0, 0), (0, n_k * tk - lk)))[..., None]
+    amask = jnp.asarray(_banded_aux(hr, wr, n_k * tk))
+
+    kernel = functools.partial(_corr_kernel_banded, tk=tk, tl=tl)
+    grid = (b, n_l, n_k)
+    s, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 3, c, tl + 2), lambda bi, li, ki: (bi, li, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, c, tk + 2), lambda bi, li, ki: (bi, ki, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, 1), lambda bi, li, ki: (bi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, 1), lambda bi, li, ki: (0, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tl), lambda bi, li, ki: (bi, 0, li),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tl), lambda bi, li, ki: (bi, 0, li),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, n_l * tl), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n_l * tl), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tl), jnp.float32),
+            pltpu.VMEM((1, tl), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * b * (n_l * (tl + 2)) * (n_k * (tk + 2)) * c,
+            bytes_accessed=(b * 3 * c * (n_l * (tl + 2) + n_k * (tk + 2))
+                            * lr_map.dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(lr_w, ref_w, inv_p, amask)
+    # crop the pad-column query positions; remap idx to row-major Hr*Wr
+    s_q = s[:, 0, :lq].reshape(b, h, w + 1)[:, :, :w].reshape(b, h * w)
+    iq = idx[:, 0, :lq].reshape(b, h, w + 1)[:, :, :w].reshape(b, h * w)
+    idx_orig = (iq // (wr + 1)) * wr + iq % (wr + 1)
+    return s_q, idx_orig
+
+
+@jax.custom_vjp
+def banded_corr_argmax(lr_map: jnp.ndarray, ref_map: jnp.ndarray,
+                       inv_ref: jnp.ndarray
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Banded twin of correlation_argmax_pallas_lds operating on feature
+    MAPS (no unfolds). Gradient: torch.max subgradient through the winning
+    reference row — each of the 9 patch offsets contributes a shifted
+    gather/scatter in map space (equal to the unfold-form gradient)."""
+    return _corr_impl_banded(lr_map, ref_map, inv_ref)
+
+
+def _banded_fwd(lr_map, ref_map, inv_ref):
+    s, idx = _corr_impl_banded(lr_map, ref_map, inv_ref)
+    return (s, idx), (lr_map, ref_map, inv_ref, s, idx)
+
+
+def _banded_bwd(res, g):
+    lr_map, ref_map, inv_ref, s, idx = res
+    gs = g[0].astype(jnp.float32)                          # [B, L]
+    b, h, w, c = lr_map.shape
+    hr, wr = ref_map.shape[1:3]
+    l = h * w
+    bidx = jnp.arange(b)[:, None]
+    inv_sel = jnp.take_along_axis(inv_ref.astype(jnp.float32), idx, axis=1)
+    gw = (gs * inv_sel)                                    # [B, L]
+    qr, qc = idx // wr, idx % wr
+    ref_flat = ref_map.astype(jnp.float32).reshape(b, hr * wr, c)
+    lr_pad = jnp.pad(lr_map.astype(jnp.float32),
+                     ((0, 0), (1, 1), (1, 1), (0, 0)))
+    d_lr_pad = jnp.zeros_like(lr_pad)
+    d_ref_flat = jnp.zeros_like(ref_flat)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            # G[q* + o] gathered at every query position (0 when OOB)
+            vr, vc = qr + dy, qc + dx
+            ok = ((vr >= 0) & (vr < hr) & (vc >= 0) & (vc < wr))
+            qo = jnp.clip(vr, 0, hr - 1) * wr + jnp.clip(vc, 0, wr - 1)
+            g_sel = jnp.take_along_axis(ref_flat, qo[..., None], axis=1)
+            g_sel = g_sel * ok[..., None]
+            # F[p + o] read from the padded map (0 when OOB)
+            f_o = jax.lax.dynamic_slice(
+                lr_pad, (0, 1 + dy, 1 + dx, 0), (b, h, w, c)
+            ).reshape(b, l, c)
+            # dF[p + o] += g_p inv_{q*} G[q* + o]
+            d_lr_pad = jax.lax.dynamic_update_slice(
+                d_lr_pad,
+                jax.lax.dynamic_slice(d_lr_pad, (0, 1 + dy, 1 + dx, 0),
+                                      (b, h, w, c))
+                + (gw[..., None] * g_sel).reshape(b, h, w, c),
+                (0, 1 + dy, 1 + dx, 0))
+            # dG[q* + o] += g_p inv_{q*} F[p + o]
+            d_ref_flat = d_ref_flat.at[bidx, qo].add(
+                (gw * ok)[..., None] * f_o)
+    d_lr = d_lr_pad[:, 1:-1, 1:-1]
+    d_inv = jnp.zeros_like(inv_ref, dtype=jnp.float32)
+    d_inv = d_inv.at[bidx, idx].add(s / jnp.maximum(inv_sel, 1e-30) * gs)
+    return (d_lr.astype(lr_map.dtype),
+            d_ref_flat.reshape(b, hr, wr, c).astype(ref_map.dtype),
+            d_inv.astype(inv_ref.dtype))
+
+
+banded_corr_argmax.defvjp(_banded_fwd, _banded_bwd)
