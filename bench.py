@@ -376,6 +376,12 @@ def main():
                 v = _run_video_mode(model, variables, frames, batch, h, w,
                                     n_iter, ratio=r)
                 detail[f"video_fps_ratio{r}"] = v["fps"]
+            # fleet-average over the GoProRS cadence grid (VERDICT r4 #9:
+            # the headline must not be cadence-flattered) — equal-weight
+            # mean of the 0.5 / 0.1 / 0.02 sharp-ratio runs
+            detail["video_fps_cadence_avg"] = round(float(np.mean(
+                [video["fps"], detail["video_fps_ratio0.1"],
+                 detail["video_fps_ratio0.02"]])), 4)
     if mode in ("direct", "both"):
         direct = _run_direct_mode(model, variables, frames, batch, h, w, n_iter)
         detail["direct_fps"] = direct["fps"]

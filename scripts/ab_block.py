@@ -98,7 +98,7 @@ def main():
         combos = [cc for cc in combos if any(s in cc[0] for s in sys.argv[2:])]
     for name, env in combos:
         for k in ("SPEINET_SWIN_G", "SPEINET_SWIN_R", "SPEINET_SWIN_S",
-                  "SPEINET_SWIN_WIDE", "SPEINET_SWIN_FUSEBLOCK",
+                  "SPEINET_SWIN_FUSEBLOCK",
                   "SPEINET_SWIN_COMPACT", "SPEINET_SWIN_GW",
                   "SPEINET_SWIN_QH"):
             os.environ.pop(k, None)

@@ -66,20 +66,14 @@ def main():
         ("attn G8 R1", {"SPEINET_SWIN_G": "8"}),
         ("attn G32 R1", {"SPEINET_SWIN_G": "32"}),
     ]
-    # the wide head path fails Mosaic lowering on real TPU hardware
-    # (pallas_swin.py wide-path note) and takes the whole process down, so
-    # it only runs under an explicit opt-in
-    if os.environ.get("AB_SWIN_WIDE"):
-        combos += [
-            ("attn G8 R1 wide", {"SPEINET_SWIN_G": "8", "SPEINET_SWIN_WIDE": "1"}),
-            ("attn G16 R1 wide", {"SPEINET_SWIN_WIDE": "1"}),
-            ("attn G16 R2 wide", {"SPEINET_SWIN_WIDE": "1", "SPEINET_SWIN_R": "2"}),
-        ]
+    # NOTE (round 3-4 record): a "wide" single-matmul head-expansion path
+    # was measured here; it passed interpret parity but failed Mosaic
+    # lowering on hardware, and the compact quad-group kernel superseded it.
+    # The branch was removed from pallas_swin.py in round 5 (VERDICT r4 #8).
     if len(sys.argv) > 1:   # e.g. "G16R1W;G8R2" quick filter by substring
         combos = [c for c in combos if any(s in c[0] for s in sys.argv[1:])]
     for name, env in combos:
-        for k in ("SPEINET_SWIN_G", "SPEINET_SWIN_R", "SPEINET_SWIN_HEADBATCH",
-                  "SPEINET_SWIN_WIDE"):
+        for k in ("SPEINET_SWIN_G", "SPEINET_SWIN_R", "SPEINET_SWIN_HEADBATCH"):
             os.environ.pop(k, None)
         os.environ.update(env)
 

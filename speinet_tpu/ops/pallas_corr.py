@@ -551,9 +551,14 @@ def _corr_impl_banded(lr_map: jnp.ndarray, ref_map: jnp.ndarray,
             pltpu.VMEM((1, tl), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 3 * b * (n_l * (tl + 2)) * (n_k * (tk + 2)) * c,
+            # FLOPs over the true (unpadded) tile extents; bytes include the
+            # f32 inv/mask side inputs and the f32+i32 outputs (ADVICE r4)
+            flops=2 * 3 * b * (n_l * tl) * (n_k * tk) * c,
             bytes_accessed=(b * 3 * c * (n_l * (tl + 2) + n_k * (tk + 2))
-                            * lr_map.dtype.itemsize),
+                            * lr_map.dtype.itemsize
+                            + b * n_k * tk * 4          # inv_p (f32)
+                            + b * n_l * tl * 4          # amask (f32)
+                            + b * n_l * tl * 8),        # s + idx outputs
             transcendentals=0,
         ),
     )(lr_w, ref_w, inv_p, amask)

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, y_ref, ls_ref, lb_ref, wkv_ref, bkv_ref, wq_ref, bq_ref,
             wp_ref, bp_ref, bias_ref, mask_ref, o_ref, *, ws: int, g: int,
-            r_rows: int, heads: int, scale: float, wide: bool):
+            r_rows: int, heads: int, scale: float):
     n = ws * ws
     gn = g * n
     c = x_ref.shape[-1]
@@ -57,47 +57,11 @@ def _kernel(x_ref, y_ref, ls_ref, lb_ref, wkv_ref, bkv_ref, wq_ref, bq_ref,
     q = (q * scale).astype(xw.dtype)
     kv = kv.astype(xw.dtype)
 
-    # head-block expansion mask: hm[h, d] = 1 iff channel d belongs to head h
-    if wide:
-        ch_head = jax.lax.broadcasted_iota(jnp.int32, (heads, c), 1) // hd
-        h_ids = jax.lax.broadcasted_iota(jnp.int32, (heads, c), 0)
-        hm = (ch_head == h_ids).astype(xw.dtype)          # [heads, C]
-
     outs = []
     for r in range(r_rows):
         mask = mask_ref[r, 0]
         qr = q[r * gn : (r + 1) * gn]
         kvr = kv[r * gn : (r + 1) * gn]
-        if wide:
-            # all heads in ONE score matmul / softmax / PV matmul via
-            # block-diagonal head expansion: the 8 serialized [gN, hd]
-            # matmuls + softmaxes leave the MXU/VPU latency-bound.
-            # K_exp[h*gN+j, d] = K[j, d] * (d in head h)  (and same for V)
-            k_exp = (kvr[None, :, :c] * hm[:, None, :]).reshape(heads * gn, c)
-            v_exp = (kvr[None, :, c:] * hm[:, None, :]).reshape(heads * gn, c)
-            # s_wide[i, h*gN+j] = sum_{d in h} q[i,d] K[j,d]: per-head scores
-            s = jax.lax.dot_general(qr, k_exp, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            s = s + bias_ref[:] + jnp.concatenate([mask] * heads, axis=1)
-            # softmax per head-block; a row-GLOBAL max keeps within-block
-            # ratios intact, so one wide reduction suffices
-            e = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
-            # per-block denominators via a block-indicator matmul, expanded
-            # back to channels via the head mask
-            blk = jax.lax.broadcasted_iota(jnp.int32, (heads * gn, heads), 0) // gn
-            hcol = jax.lax.broadcasted_iota(jnp.int32, (heads * gn, heads), 1)
-            ones_bd = (blk == hcol).astype(xw.dtype)       # [h*gN, heads]
-            denom = jax.lax.dot_general(
-                e.astype(xw.dtype), ones_bd, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [gN, heads]
-            num = jax.lax.dot_general(
-                e.astype(xw.dtype), v_exp, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [gN, C]
-            denom_c = jax.lax.dot_general(
-                denom.astype(xw.dtype), hm, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [gN, C]
-            outs.append(num / denom_c)
-            continue
         heads_out = []
         for h in range(heads):
             qh = qr[:, h * hd : (h + 1) * hd]
@@ -644,10 +608,6 @@ def fused_window_cross_attention(
     r_rows = int(os.environ.get("SPEINET_SWIN_R", "1"))
     while (hp // ws) % r_rows:
         r_rows -= 1
-    # NOTE: the wide path passes interpret-mode parity tests but currently
-    # fails to lower on hardware (Mosaic gather-lowering shape mismatch in
-    # the head-expansion reshape); keep it off until Mosaic supports it.
-    wide = os.environ.get("SPEINET_SWIN_WIDE", "0") == "1"
     nr, nc = hp // ws, wpx // (g * ws)
     dedup = shift > 0 and not (pad_h or pad_w) and r_rows == 1
     if dedup:
@@ -659,13 +619,9 @@ def fused_window_cross_attention(
     # block-diagonal packed relative-position bias, built in XLA (tiny)
     eye = jnp.eye(g, dtype=bias.dtype)
     bias_packed = jnp.einsum("ij,hmn->himjn", eye, bias).reshape(heads, g * n, g * n)
-    if wide:
-        # [gN, heads*gN] layout for the single wide score matmul
-        bias_packed = bias_packed.transpose(1, 0, 2).reshape(g * n,
-                                                             heads * g * n)
 
     kernel = functools.partial(_kernel, ws=ws, g=g, r_rows=r_rows, heads=heads,
-                               scale=scale, wide=wide)
+                               scale=scale)
     grid = (b, hp // (r_rows * ws), wpx // (g * ws))
     gws = g * ws
     rws = r_rows * ws

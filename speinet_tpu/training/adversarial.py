@@ -57,7 +57,12 @@ def _bce_logits(logits: jnp.ndarray, target: float) -> jnp.ndarray:
                     + jnp.log1p(jnp.exp(-jnp.abs(logits))))
 
 
-_DIS_TX = optax.adam(1e-4)
+# lr-free Adam (scale_by_adam + sign flip): the current learning rate is
+# applied per-step from TrainState.lr, so the discriminator follows the
+# SAME config lr + StepLR decay schedule as the generator (the reference
+# persists its loss-module optimizer alongside the model's,
+# Loss/__init__.py:126-128, and both ride args.lr).
+_DIS_TX = optax.chain(optax.scale_by_adam(), optax.scale(-1.0))
 
 
 def init_gan_state(rng: jax.Array, sample_nchw_shape,
@@ -80,9 +85,11 @@ def generator_loss(gan: Dict[str, Any], out: jnp.ndarray,
 
 
 def discriminator_step(gan: Dict[str, Any], out: jnp.ndarray,
-                       gt: jnp.ndarray, rgb_range: float = 255.0
+                       gt: jnp.ndarray, rgb_range: float = 255.0,
+                       lr: jnp.ndarray | float = 1e-4
                        ) -> Tuple[Dict[str, Any], jnp.ndarray]:
-    """One Adam update of D on (gt -> 1, out.stop_grad -> 0)."""
+    """One Adam update of D on (gt -> 1, out.stop_grad -> 0) at rate `lr`
+    (the trainer passes TrainState.lr so D shares the config schedule)."""
     dis = Discriminator()
     fake = jax.lax.stop_gradient(_prep(out, rgb_range))
     real = _prep(gt, rgb_range)
@@ -94,5 +101,6 @@ def discriminator_step(gan: Dict[str, Any], out: jnp.ndarray,
 
     loss, grads = jax.value_and_grad(dis_loss)(gan["params"])
     updates, new_opt = _DIS_TX.update(grads, gan["opt"], gan["params"])
+    updates = jax.tree.map(lambda u: u * lr, updates)
     new_params = optax.apply_updates(gan["params"], updates)
     return {"params": new_params, "opt": new_opt}, loss

@@ -99,7 +99,7 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
             from speinet_tpu.training.adversarial import discriminator_step
 
             new_gan, dis_loss = discriminator_step(
-                state.gan, out, gt, rgb_range=cfg.rgb_range)
+                state.gan, out, gt, rgb_range=cfg.rgb_range, lr=state.lr)
             comps["DIS"] = dis_loss
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt,

@@ -27,10 +27,15 @@ class CheckpointManager:
         return os.path.join(self.model_dir, name)
 
     def save(self, state: Any, epoch: int, is_best: bool = False):
-        tree = jax.tree.map(np.asarray, jax.device_get(
-            {"step": state.step, "params": state.params,
-             "batch_stats": state.batch_stats, "opt_state": state.opt_state,
-             "lr": state.lr}))
+        tree = {"step": state.step, "params": state.params,
+                "batch_stats": state.batch_stats, "opt_state": state.opt_state,
+                "lr": state.lr}
+        # loss-plugin (GAN discriminator) state rides the same checkpoint —
+        # the reference persists its loss module incl. the discriminator's
+        # optimizer in loss.pt (Loss/__init__.py:126-128)
+        if getattr(state, "gan", None) is not None:
+            tree["gan"] = state.gan
+        tree = jax.tree.map(np.asarray, jax.device_get(tree))
         self._ckptr.save(self._path("model_latest"), tree, force=True)
         if is_best:
             self._ckptr.save(self._path("model_best"), tree, force=True)
@@ -46,10 +51,22 @@ class CheckpointManager:
         tree = {"step": state.step, "params": state.params,
                 "batch_stats": state.batch_stats, "opt_state": state.opt_state,
                 "lr": state.lr}
-        restored = self._ckptr.restore(path, tree)
+        has_gan = getattr(state, "gan", None) is not None
+        if has_gan:
+            tree["gan"] = state.gan
+        try:
+            restored = self._ckptr.restore(path, tree)
+        except BaseException:
+            if not has_gan:
+                raise
+            # pre-round-5 checkpoint without a gan subtree: restore the rest
+            # and keep the freshly-initialized discriminator
+            del tree["gan"]
+            restored = self._ckptr.restore(path, tree)
         return state.replace(step=restored["step"], params=restored["params"],
                              batch_stats=restored["batch_stats"],
-                             opt_state=restored["opt_state"], lr=restored["lr"])
+                             opt_state=restored["opt_state"], lr=restored["lr"],
+                             gan=restored.get("gan", getattr(state, "gan", None)))
 
     def restore_params(self, like_params: Any, which: str = "model_best"):
         """Params-only restore (the reference's pre_train / test_only load,

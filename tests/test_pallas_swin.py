@@ -93,25 +93,6 @@ def test_swin_block_group16(rng, monkeypatch):
     np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
 
 
-def test_swin_block_wide(rng, monkeypatch):
-    """SPEINET_SWIN_WIDE=1 computes all heads in one block-diagonal score
-    matmul + one segmented softmax; numerics must match the per-head loop.
-    (Knob of the attention-only kernel: whole-block fusion pinned off.)"""
-    monkeypatch.setenv("SPEINET_SWIN_FUSEBLOCK", "0")
-    monkeypatch.setenv("SPEINET_SWIN_WIDE", "1")
-    ref, fused = _run_block(10, 15, 32, 4, 2, jnp.float32, rng, monkeypatch)
-    np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
-
-
-def test_swin_block_wide_padded(rng, monkeypatch):
-    """Wide path with non-multiple H/W (pad masks + zero-denominator
-    guards must hold)."""
-    monkeypatch.setenv("SPEINET_SWIN_FUSEBLOCK", "0")
-    monkeypatch.setenv("SPEINET_SWIN_WIDE", "1")
-    ref, fused = _run_block(9, 13, 32, 4, 0, jnp.float32, rng, monkeypatch)
-    np.testing.assert_allclose(ref, fused, rtol=2e-5, atol=2e-5)
-
-
 def test_swin_block_r_rows_gt1(rng, monkeypatch):
     """SPEINET_SWIN_R>1 processes several window-rows per grid step; the
     per-row mask indexing must still isolate each row."""
