@@ -17,8 +17,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def slope(fn, x0, name="", n1=1, n2=5, reps=3):
-    """fn: x -> (x_next, out). Returns true per-iteration seconds."""
+    """fn: x -> (x_next, out). Returns true per-iteration seconds.
+    PROF_ONLY=<substr>[,<substr>...] runs only matching stages."""
     import jax.numpy as jnp
+
+    only = os.environ.get("PROF_ONLY", "")
+    if only and not any(s in name for s in only.split(",")):
+        return None
 
     def run(k):
         x = x0
@@ -36,19 +41,22 @@ def slope(fn, x0, name="", n1=1, n2=5, reps=3):
     return per
 
 
-def chained(jit_fn):
-    """Wrap out = f(x) into x' = x*(1+eps*mean(out)) for serialization."""
+def chained(jit_fn, *extra):
+    """Wrap out = f(x, *extra) into x' = x*(1+eps*mean(out)) for
+    serialization. `extra` tensors are passed as TRACED ARGS — closing over
+    large device arrays embeds them as constants in the serialized program
+    and overflows the remote-compile relay's request limit at batch >= 4."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def step(x):
-        out = jit_fn(x)
+    def step(x, *e):
+        out = jit_fn(x, *e)
         leaves = jax.tree_util.tree_leaves(out)
         s = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
         return x * (1.0 + 1e-12 * s), leaves[0]
 
-    return step
+    return lambda x: step(x, *extra)
 
 
 def main():
@@ -102,8 +110,16 @@ def main():
     s3 = jax.random.normal(key, (b, h4, w4, 128), dtype) * 0.1
     hs = jnp.ones((b,), bool)
     tv = tr.init(rng, ff, s1, s2, s3, hs)
-    slope(chained(lambda t: tr.apply(tv, t, s1, s2, s3, hs)), ff,
+    slope(chained(lambda t, a1, a2, a3: tr.apply(tv, t, a1, a2, a3, hs),
+                  s1, s2, s3), ff,
           name="transfer (corr+gather_fold)")
+
+    # the ENGINE's transfer: host-known routing='sharp' (banded corr path,
+    # single texture branch) — what video mode actually pays per restore
+    slope(chained(lambda t, a1, a2, a3: tr.apply(tv, t, a1, a2, a3, hs,
+                                                 routing="sharp"),
+                  s1, s2, s3), ff,
+          name="transfer sharp-routed (engine)")
 
     # --- correlation kernel alone (bf16) ---
     from speinet_tpu.ops.pallas_corr import correlation_argmax_pallas
@@ -111,8 +127,8 @@ def main():
     d = 128 * 9
     lr_n = jax.random.normal(key, (b, d, l), dtype) * 0.03
     ref_n = jax.random.normal(key, (b, l, d), dtype) * 0.03
-    slope(chained(lambda t: correlation_argmax_pallas(t, ref_n)[0]), lr_n,
-          name="corr kernel bf16")
+    slope(chained(lambda t, r: correlation_argmax_pallas(t, r)[0], ref_n),
+          lr_n, name="corr kernel bf16")
 
     # --- decoder stages at batch b ---
     dec_in = jax.random.normal(key, (b, h4, w4, 128), dtype) * 0.1

@@ -100,6 +100,14 @@ def main():
         jg = jax.jit(lambda r, i, s=s: gather_fold_nhwc_seg9(r, i, s) / 9.0)
         timeit(f"gather_fold_seg9 {name}", jg, ref, idx)
 
+    # 4c. shift9 variant (overlap-add moved into index space: same single
+    # gather, fold = sum over 9 adjacent rows — no pad/slice relayouts)
+    from speinet_tpu.ops.patch_ops import gather_fold_nhwc_shift9
+    for name, ref, s in (("lv3 s=1", s3, 1), ("lv2 s=2", s2, 2),
+                         ("lv1 s=4", s1, 4)):
+        jg = jax.jit(lambda r, i, s=s: gather_fold_nhwc_shift9(r, i, s) / 9.0)
+        timeit(f"gather_fold_shift9 {name}", jg, ref, idx)
+
     # 5. the raw take_along_axis gather alone at lv1 geometry
     def gather_only(ref, index):
         s = 4
@@ -140,11 +148,15 @@ def main():
                  jnp.zeros((1, 20, 20, 4 * f), dt),
                  jnp.ones((1,), bool), routing="mixed")
     hsx = jnp.ones((b,), bool)
-    jtu = jax.jit(lambda x: tu.apply(vs, x, s1, s2, s3, hsx, routing="sharp"))
-    timeit("TransferUnit routing=sharp (full)", jtu, ff)
+    # side tensors as traced args: closures embed them as constants and
+    # overflow the remote-compile request limit at b >= 4
+    jtu = jax.jit(lambda x, a1, a2, a3: tu.apply(vs, x, a1, a2, a3, hsx,
+                                                 routing="sharp"))
+    timeit("TransferUnit routing=sharp (full)", jtu, ff, s1, s2, s3)
 
-    jtm = jax.jit(lambda x: tu.apply(vs, x, s1, s2, s3, hsx, routing="mixed"))
-    timeit("TransferUnit routing=mixed (full)", jtm, ff)
+    jtm = jax.jit(lambda x, a1, a2, a3: tu.apply(vs, x, a1, a2, a3, hsx,
+                                                 routing="mixed"))
+    timeit("TransferUnit routing=mixed (full)", jtm, ff, s1, s2, s3)
 
 
 if __name__ == "__main__":

@@ -272,10 +272,23 @@ class TransferUnit(nn.Module):
         __call__, so the self_search conv submodules resolve normally)."""
         if routing != "self":
             # --- SearchTransfer texture path: gather+fold of the sharp
-            # pyramid (NHWC throughout; bf16 when the model runs bf16)
-            t3_search = gather_fold_nhwc(sharp_lv3, idx, 1) / 9.0
-            t2_search = gather_fold_nhwc(sharp_lv2, idx, 2) / 9.0
-            t1_search = gather_fold_nhwc(sharp_lv1, idx, 4) / 9.0
+            # pyramid (NHWC throughout; bf16 when the model runs bf16).
+            # The three scales share the argmax index and tile grid, so one
+            # combined gather of concatenated per-coordinate rows replaces
+            # 27L gathered rows with 9L — XLA's TPU gather is row-count-
+            # bound, measured 124.6 vs 286.1 ms at b=4 (scripts/ab_gf3.py).
+            import os
+
+            if os.environ.get("SPEINET_GF3", "1") == "1":
+                from speinet_tpu.ops.patch_ops import gather_fold3_nhwc
+
+                t3_search, t2_search, t1_search = (
+                    t / 9.0 for t in gather_fold3_nhwc(
+                        sharp_lv1, sharp_lv2, sharp_lv3, idx))
+            else:
+                t3_search = gather_fold_nhwc(sharp_lv3, idx, 1) / 9.0
+                t2_search = gather_fold_nhwc(sharp_lv2, idx, 2) / 9.0
+                t1_search = gather_fold_nhwc(sharp_lv1, idx, 4) / 9.0
 
         # routing='sharp' skips the SelfTransfer branch, so an init trace
         # driven through it would silently create a param tree WITHOUT the

@@ -120,18 +120,70 @@ def gather_fold_nhwc_seg9(ref: jnp.ndarray, index: jnp.ndarray,
 
 def gather_fold_nhwc(ref: jnp.ndarray, index: jnp.ndarray,
                      stride: int) -> jnp.ndarray:
-    """Dispatch: 9-row tiles layout (default) or the seg9 single-gather
-    layout (SPEINET_GF_SEG9=1). Identical outputs
-    (tests/test_ops_resize_patch.py). seg9 gathers 9x fewer rows and was
-    end-to-end NEUTRAL at batch 2 (67.8 vs 67.9 ms, scripts/ab_glue.py),
-    but its dense [B, L, 9*s*s*C] pre-pack materializes ~4.3 GB per scale
-    at the bench batch 8 — the restore program OOMs HBM (21.6 G needed of
-    15.75 G) — so the low-footprint tiles layout is the default."""
+    """Dispatch: shift9 pre-shifted-index layout (default), the 9-row tiles
+    layout (SPEINET_GF_SHIFT9=0), or the seg9 single-gather layout
+    (SPEINET_GF_SEG9=1). Identical outputs (tests/test_ops_resize_patch.py).
+
+    seg9 gathers 9x fewer rows and was end-to-end NEUTRAL at batch 2
+    (67.8 vs 67.9 ms, scripts/ab_glue.py), but its dense [B, L, 9*s*s*C]
+    pre-pack materializes ~4.3 GB per scale at the bench batch 8 — the
+    restore program OOMs HBM — so it stays opt-in. shift9 keeps the tiles
+    layout's single low-footprint gather but moves the overlap-add's 9
+    tile-grid shifts into the INDEX arithmetic (a [B, L] int map, ~0.2 MB),
+    so the fold epilogue is a sum over 9 adjacent gathered rows instead of
+    pad + 9 shifted slices of the 9x-volume gathered tensor."""
     import os
 
     if os.environ.get("SPEINET_GF_SEG9", "0") == "1":
         return gather_fold_nhwc_seg9(ref, index, stride)
+    if os.environ.get("SPEINET_GF_SHIFT9", "1") == "1":
+        return gather_fold_nhwc_shift9(ref, index, stride)
     return gather_fold_nhwc_tiles(ref, index, stride)
+
+
+def gather_fold_nhwc_shift9(ref: jnp.ndarray, index: jnp.ndarray,
+                            stride: int) -> jnp.ndarray:
+    """gather_fold with the overlap-add pre-applied in index space.
+
+    The tiles-layout fold (gather_fold_nhwc_tiles) pays a pad + 9 shifted
+    slices + transpose over the GATHERED tensor (9x the output volume —
+    ~93 ms of the 170 ms lv1 gather_fold at b=4, scripts/ab_glue.py).
+    Here the contribution of patch-offset (di, dj) to output tile t is
+    fetched by shifting the (tiny) [B, nh, nw] argmax maps by (di-1, dj-1)
+    in QUERY space before building the flat gather indices: the gathered
+    array arrives already fold-aligned, and the overlap-add is a sum over
+    the 9 adjacent rows of each output position. Out-of-range query shifts
+    point at tile (0, 0) of the one-tile-padded grid, which lies entirely
+    in the zero padding — a free zero sentinel (collisions with legitimate
+    (0,0) fetches just add zero).
+    """
+    s = stride
+    b, hh, ww, c = ref.shape
+    nh, nw = hh // s, ww // s
+    l = nh * nw
+    assert index.shape[-1] == l
+    refp = jnp.pad(ref, ((0, 0), (s, s), (s, s), (0, 0)))
+    tiles = refp.reshape(b, nh + 2, s, nw + 2, s, c).transpose(0, 1, 3, 2, 4, 5)
+    tiles = tiles.reshape(b, (nh + 2) * (nw + 2), s * s * c)
+    ih = (index // nw).reshape(b, nh, nw)
+    iw = (index % nw).reshape(b, nh, nw)
+    tt = jnp.arange(nh)[:, None]
+    tw = jnp.arange(nw)[None, :]
+    flats = []
+    for di in range(3):
+        for dj in range(3):
+            dh, dw = di - 1, dj - 1
+            # value at output tile t = index map at query t - (dh, dw)
+            ihs = jnp.roll(ih, (dh, dw), axis=(1, 2))
+            iws = jnp.roll(iw, (dh, dw), axis=(1, 2))
+            f = (ihs + di) * (nw + 2) + (iws + dj)
+            valid = ((tt - dh >= 0) & (tt - dh < nh)
+                     & (tw - dw >= 0) & (tw - dw < nw))
+            flats.append(jnp.where(valid[None], f, 0))
+    flat = jnp.stack(flats, axis=3).reshape(b, l * 9)     # offset-minor
+    g = jnp.take_along_axis(tiles, flat[:, :, None], axis=1)
+    g = g.reshape(b, nh, nw, 9, s, s, c).sum(axis=3)
+    return g.transpose(0, 1, 3, 2, 4, 5).reshape(b, nh * s, nw * s, c)
 
 
 def gather_fold_nhwc_tiles(ref: jnp.ndarray, index: jnp.ndarray, stride: int) -> jnp.ndarray:
@@ -185,3 +237,75 @@ def gather_fold(ref: jnp.ndarray, index: jnp.ndarray, stride: int) -> jnp.ndarra
     """NCHW wrapper around gather_fold_nhwc (reference tensor convention)."""
     out = gather_fold_nhwc(ref.transpose(0, 2, 3, 1), index, stride)
     return out.transpose(0, 3, 1, 2)
+
+
+def _tiles_rows(ref: jnp.ndarray, s: int, nh: int, nw: int) -> jnp.ndarray:
+    """One-tile-padded s x s tile rows: [B, (nh+2)*(nw+2), s*s*C]."""
+    b, _, _, c = ref.shape
+    refp = jnp.pad(ref, ((0, 0), (s, s), (s, s), (0, 0)))
+    t = refp.reshape(b, nh + 2, s, nw + 2, s, c).transpose(0, 1, 3, 2, 4, 5)
+    return t.reshape(b, (nh + 2) * (nw + 2), s * s * c)
+
+
+def _shift9_flat(index: jnp.ndarray, nh: int, nw: int) -> jnp.ndarray:
+    """Pre-shifted flat tile indices [B, L*9] (offset-minor) with the
+    zero-sentinel edge masking of gather_fold_nhwc_shift9."""
+    b = index.shape[0]
+    l = nh * nw
+    ih = (index // nw).reshape(b, nh, nw)
+    iw = (index % nw).reshape(b, nh, nw)
+    tt = jnp.arange(nh)[:, None]
+    tw = jnp.arange(nw)[None, :]
+    flats = []
+    for di in range(3):
+        for dj in range(3):
+            dh, dw = di - 1, dj - 1
+            ihs = jnp.roll(ih, (dh, dw), axis=(1, 2))
+            iws = jnp.roll(iw, (dh, dw), axis=(1, 2))
+            f = (ihs + di) * (nw + 2) + (iws + dj)
+            valid = ((tt - dh >= 0) & (tt - dh < nh)
+                     & (tw - dw >= 0) & (tw - dw < nw))
+            flats.append(jnp.where(valid[None], f, 0))
+    return jnp.stack(flats, axis=3).reshape(b, l * 9)
+
+
+def gather_fold3_nhwc(ref1: jnp.ndarray, ref2: jnp.ndarray,
+                      ref3: jnp.ndarray, index: jnp.ndarray
+                      ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """All three texture-transfer gather_folds in ONE combined gather.
+
+    ref1/ref2/ref3: the sharp encoder pyramid at strides 4/2/1 (lv1
+    [B, 4H, 4W, C], lv2 [B, 2H, 2W, 2C], lv3 [B, H, W, 4C]); index: [B, L]
+    argmax positions on the lv3 grid. Returns (T3, T2, T1) — each equal to
+    gather_fold_nhwc(ref_k, index, s_k) (caller divides by 9).
+
+    Why: XLA's TPU row gather is row-COUNT-bound (~30 ns/row at these row
+    widths, scripts/ab_glue.py), and the three scales gather with the SAME
+    tile-grid indices — so concatenating the per-coordinate tile rows of
+    all three pyramids (128 + 256 + 512 elems = one ~1.75 KB bf16 row)
+    turns 27L gathered rows into 9L for identical volume. The shift9 index
+    trick keeps the fold a 9-adjacent-row sum on each column slice.
+    """
+    b, hh, ww, c3 = ref3.shape
+    nh, nw = hh, ww                     # lv3 tile grid (s=1)
+    l = nh * nw
+    assert index.shape[-1] == l
+    w3 = c3                             # 1*1*c3
+    w2 = 4 * ref2.shape[-1]             # 2*2*c2
+    rows = jnp.concatenate([
+        _tiles_rows(ref3, 1, nh, nw),
+        _tiles_rows(ref2, 2, nh, nw),
+        _tiles_rows(ref1, 4, nh, nw),
+    ], axis=-1)                          # [B, (nh+2)(nw+2), w3+w2+w1]
+    flat = _shift9_flat(index, nh, nw)
+    g = jnp.take_along_axis(rows, flat[:, :, None], axis=1)  # [B, 9L, W]
+    g = g.reshape(b, nh, nw, 9, -1)
+
+    def fold(cols: jnp.ndarray, s: int, c: int) -> jnp.ndarray:
+        t = cols.sum(axis=3).reshape(b, nh, nw, s, s, c)
+        return t.transpose(0, 1, 3, 2, 4, 5).reshape(b, nh * s, nw * s, c)
+
+    t3 = fold(g[..., :w3], 1, c3)
+    t2 = fold(g[..., w3 : w3 + w2], 2, ref2.shape[-1])
+    t1 = fold(g[..., w3 + w2 :], 4, ref1.shape[-1])
+    return t3, t2, t1

@@ -101,3 +101,30 @@ def test_gather_fold_seg9_matches_tiles(rng):
         a = gather_fold_nhwc_tiles(ref, idx, s)
         b = gather_fold_nhwc_seg9(ref, idx, s)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gather_fold_shift9_matches_tiles(rng):
+    """Pre-shifted-index fold layout (the round-5 default) == the original
+    9-row tiles layout, bit-exact, incl. edge tiles where the out-of-range
+    query shifts hit the zero-sentinel corner tile."""
+    import jax.numpy as jnp
+    from speinet_tpu.ops.patch_ops import (gather_fold_nhwc_shift9,
+                                           gather_fold_nhwc_tiles)
+
+    for s, h, w, c in ((1, 12, 16, 5), (2, 12, 16, 4), (4, 16, 24, 3)):
+        nh, nw = h // s, w // s
+        ref = jnp.asarray(rng.random((2, h, w, c)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, nh * nw, (2, nh * nw)),
+                          dtype=jnp.int32)
+        a = gather_fold_nhwc_tiles(ref, idx, s)
+        b = gather_fold_nhwc_shift9(ref, idx, s)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # corner stress: every query maps to the grid corners
+    s, h, w, c = 2, 8, 8, 3
+    nh, nw = h // s, w // s
+    ref = jnp.asarray(rng.random((1, h, w, c)).astype(np.float32))
+    for v in (0, nw - 1, nh * nw - nw, nh * nw - 1):
+        idx = jnp.full((1, nh * nw), v, jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(gather_fold_nhwc_tiles(ref, idx, s)),
+            np.asarray(gather_fold_nhwc_shift9(ref, idx, s)))
