@@ -286,26 +286,44 @@ def gather_fold3_nhwc(ref1: jnp.ndarray, ref2: jnp.ndarray,
     turns 27L gathered rows into 9L for identical volume. The shift9 index
     trick keeps the fold a 9-adjacent-row sum on each column slice.
     """
+    import os
+
     b, hh, ww, c3 = ref3.shape
     nh, nw = hh, ww                     # lv3 tile grid (s=1)
     l = nh * nw
     assert index.shape[-1] == l
     w3 = c3                             # 1*1*c3
     w2 = 4 * ref2.shape[-1]             # 2*2*c2
+    width = w3 + w2 + 16 * ref1.shape[-1]
     rows = jnp.concatenate([
         _tiles_rows(ref3, 1, nh, nw),
         _tiles_rows(ref2, 2, nh, nw),
         _tiles_rows(ref1, 4, nh, nw),
     ], axis=-1)                          # [B, (nh+2)(nw+2), w3+w2+w1]
     flat = _shift9_flat(index, nh, nw)
-    g = jnp.take_along_axis(rows, flat[:, :, None], axis=1)  # [B, 9L, W]
-    g = g.reshape(b, nh, nw, 9, -1)
+
+    # the gathered [chunk, 9L, W] tensor materializes (~0.93 GB/sample at
+    # 720p bf16) before its per-scale 9-row folds; an unchunked batch-8
+    # restore program exceeds HBM by 5.3 G. Gather time is row-count-bound,
+    # so sequential batch chunks under a transient budget cost ~nothing.
+    budget = int(os.environ.get("SPEINET_GF3_MB", "2048")) * (1 << 20)
+    per_sample = 9 * l * width * rows.dtype.itemsize
+    cb = max(1, min(b, budget // max(per_sample, 1)))
+    while b % cb:
+        cb -= 1
 
     def fold(cols: jnp.ndarray, s: int, c: int) -> jnp.ndarray:
-        t = cols.sum(axis=3).reshape(b, nh, nw, s, s, c)
-        return t.transpose(0, 1, 3, 2, 4, 5).reshape(b, nh * s, nw * s, c)
+        t = cols.sum(axis=3).reshape(cb, nh, nw, s, s, c)
+        return t.transpose(0, 1, 3, 2, 4, 5).reshape(cb, nh * s, nw * s, c)
 
-    t3 = fold(g[..., :w3], 1, c3)
-    t2 = fold(g[..., w3 : w3 + w2], 2, ref2.shape[-1])
-    t1 = fold(g[..., w3 + w2 :], 4, ref1.shape[-1])
-    return t3, t2, t1
+    outs = []
+    for i in range(0, b, cb):
+        g = jnp.take_along_axis(rows[i : i + cb],
+                                flat[i : i + cb, :, None], axis=1)
+        g = g.reshape(cb, nh, nw, 9, -1)
+        outs.append((fold(g[..., :w3], 1, c3),
+                     fold(g[..., w3 : w3 + w2], 2, ref2.shape[-1]),
+                     fold(g[..., w3 + w2 :], 4, ref1.shape[-1])))
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(jnp.concatenate([o[k] for o in outs]) for k in range(3))
