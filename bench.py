@@ -159,6 +159,9 @@ def _run_video_mode(model, variables, frames, batch, h, w, n_iter,
     anchor_in = base[:n_anchor]
     hs = jnp.ones((batch,), bool)
 
+    aot_dir = os.environ.get("SPEINET_AOT_CACHE_DIR", os.path.join(
+        os.path.expanduser("~"), ".cache", "speinet_aot"))
+    aot_before = set(os.listdir(aot_dir)) if os.path.isdir(aot_dir) else set()
     precompile_t0 = time.time()
     if os.environ.get("BENCH_AOT", "1") == "1":
         # disk-serialized executables sidestep the per-process compile-cache
@@ -222,6 +225,13 @@ def _run_video_mode(model, variables, frames, batch, h, w, n_iter,
     n_timed = n_iter if anchor_every == 1 else 2 * anchor_every
     dt, compile_time, cache_state = _timed_chain(
         chunk, jnp.zeros((batch, 3, h, w), jnp.float32), n_timed)
+    # truthful label (VERDICT r4 #3): the AOT precompile path compiles
+    # WITHOUT touching jax's persistent compile-cache dir, so a run that
+    # wrote new serialized executables must report cold even when
+    # _timed_chain saw no new >1MB jax-cache entries
+    aot_after = set(os.listdir(aot_dir)) if os.path.isdir(aot_dir) else set()
+    if aot_after - aot_before:
+        cache_state = "cold"
     return {"fps": round(batch / dt, 4),
             "sec_per_frame": round(dt / batch, 4),
             "compile_sec": round(compile_time + precompile_sec, 1),
