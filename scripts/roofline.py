@@ -57,36 +57,43 @@ def decoder():
     return fl
 
 
-def swin_per_frame(s_batch=2, g=8):
+def swin_per_frame(s_batch=2, g=8, compact=True, group_w=4, quad_h=4):
     """Two neighbor-fusion streams x 36 blocks at lv3 (180x320 tokens).
-    'useful' counts window-local attention; 'issued' adds the
-    block-diagonal packing waste (scores computed at sgn=s*g*25 instead
-    of 25 keys per query - the price of filling the MXU with 5x5
-    windows; see pallas_swin._block_kernel)."""
+    'useful' counts window-local attention; 'issued' adds the packing
+    waste. Non-compact [sgn, sgn] block-diagonal packing wastes
+    sgn/25 = s*g on scores/AV; the compact column-grouped head-quad
+    packing (pallas_swin._attn_compact, the shipped default) wastes
+    (group_w*25/25) x (quad_h*hd/hd) = group_w*quad_h (16x at GW4 QH4)
+    independent of s and g - the price of filling the 128-lane MXU with
+    5x5 windows and 32-wide heads."""
     l = (H // 4) * (W // 4)
-    sgn = s_batch * g * WS2
     per_block_proj = (2 * l * C * 2 * C      # kv
                       + 2 * l * C * C        # q
                       + 2 * l * C * C        # proj
                       + 2 * 2 * l * C * MLP_HIDDEN)
     attn_useful = 2 * 2 * l * WS2 * C        # scores + weighted sum
-    attn_issued = attn_useful * (sgn / WS2)
+    waste = (group_w * quad_h) if compact else (s_batch * g)
+    attn_issued = attn_useful * waste
     streams = 2
     return (streams * BLOCKS * (per_block_proj + attn_useful),
             streams * BLOCKS * (per_block_proj + attn_issued))
 
 
 def main():
-    # measured per-frame ms (720p, bf16, batch-8 video mode amortized to
-    # per-frame; sources: README profile table + scripts/profile_video.py)
+    # measured per-frame ms (720p, bf16, batch-4 profile amortized to
+    # per-frame; round-5 re-profile: profile_components.py PROF_BATCH=4
+    # (421 ms x7 legs -> 45 for the video-mode 3; swin 359 / 4; corr
+    # 177.2 / 4; decoder 85.3 / 4) and the sharp-routed TransferUnit
+    # 384 ms / 4 = 96 minus the corr kernel and the measured 40.4 ms/frame
+    # combined-gather saving (scripts/ab_gf3.py: 286.1 -> 124.6 ms at b=4)
     measured = {
-        "encoder (3 legs, video mode)": (3 * encoder_leg(), 50.0),
-        "swin fusion (2 streams x 36 blocks)": (None, 131.0),
-        "correlation search (online max/argmax)": (7.6e12, 45.0),
-        "transfer/gather_fold + fusion glue": (0.5e12, 40.0),
-        "decoder (dec2+dec1+out)": (decoder(), 42.0),
+        "encoder (3 legs, video mode)": (3 * encoder_leg(), 45.0),
+        "swin fusion (2 streams x 36 blocks)": (None, 90.0),
+        "correlation search (online max/argmax)": (7.6e12, 44.0),
+        "transfer/gather_fold + fusion glue": (0.5e12, 12.0),
+        "decoder (dec2+dec1+out)": (decoder(), 21.0),
     }
-    useful, issued = swin_per_frame()
+    useful, issued = swin_per_frame(s_batch=2, g=16)
     print(f"{'component':44s} {'TFLOP':>7s} {'ms':>6s} {'TFLOPS':>7s} {'%peak':>6s}")
     tot_fl, tot_ms = 0.0, 0.0
     for name, (fl, ms) in measured.items():
@@ -97,8 +104,9 @@ def main():
               f"{100 * rate / PEAK_T:5.1f}%")
         tot_fl += fl
         tot_ms += ms
-    print(f"{'swin issued incl. block-diag packing waste':44s} "
-          f"{issued / T:7.2f} {'':6s} {issued / T / 0.131:7.1f}")
+    swin_ms = measured["swin fusion (2 streams x 36 blocks)"][1]
+    print(f"{'swin issued incl. compact packing waste':44s} "
+          f"{issued / T:7.2f} {'':6s} {issued / T / (swin_ms / 1e3):7.1f}")
     print("-" * 78)
     rate = tot_fl / (tot_ms / 1e3)
     print(f"{'sum of profiled components':44s} {tot_fl / T:7.2f} {tot_ms:6.1f} "
