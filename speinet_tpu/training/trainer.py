@@ -90,6 +90,22 @@ class Trainer:
         sharding = batch_sharding(self.mesh)
         n_batches = 0
         t0 = time.time()
+        # loss accumulators stay ON DEVICE between syncs: a float() per
+        # step is a blocking host readback through the TPU relay that
+        # serializes host data prep against device execution; one sync per
+        # print_every window keeps the pipeline full
+        run_total = run_comps = None
+        last_comps = None
+
+        def flush():
+            nonlocal run_total, run_comps
+            if run_total is None:
+                return
+            self.ckp.report_log(float(run_total),
+                                components={k: float(v)
+                                            for k, v in run_comps.items()})
+            run_total = run_comps = None
+
         for batch, sample in enumerate(
                 prefetch_to_device(iter(self.data.loader_train), sharding)):
             inputs, gts = sample[0], sample[1]   # 5-tuples carry blur maps
@@ -97,18 +113,23 @@ class Trainer:
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, total, comps = self.train_step(self.state, inputs,
                                                        gt_center, step_rng)
-            self.ckp.report_log(float(total),
-                                components={k: float(v)
-                                            for k, v in comps.items()})
+            if run_total is None:
+                run_total, run_comps = total, dict(comps)
+            else:
+                run_total = run_total + total
+                run_comps = {k: run_comps[k] + v for k, v in comps.items()}
+            last_comps = comps
             n_batches += 1
             if (batch + 1) % self.cfg.print_every == 0:
+                flush()
                 comp_str = "".join(
-                    f"[{k}: {float(v):.4f}]" for k, v in comps.items())
+                    f"[{k}: {float(v):.4f}]" for k, v in last_comps.items())
                 self.ckp.write_log(
                     f"[{(batch + 1) * self.cfg.batch_size}/"
                     f"{len(self.data.loader_train) * self.cfg.batch_size}]\t"
                     f"Loss : [total: {self.ckp.loss_log[-1] / (batch + 1):.4f}]"
                     f"{comp_str}[{(time.time() - t0) / (batch + 1):.2f}s/b]")
+        flush()
         self.ckp.end_log(max(n_batches, 1))
 
     # ------------------------------------------------------------------
