@@ -36,9 +36,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-N_FEAT, N_RES = 16, 2
-EMBED, DEPTHS, HEADS, WS, MLP = 64, (2, 2), (4, 4), 5, 2.0
-PATCH, BATCH, LR = 80, 4, 1e-4
+# shrunk default (round-3/4 evidence config); env overrides allow the
+# scale-step rerun (e.g. H2H_NFEAT=32 H2H_EMBED=128 H2H_DEPTHS=4,4 —
+# VERDICT r4 #6) without editing the script
+N_FEAT = int(os.environ.get("H2H_NFEAT", "16"))
+N_RES = int(os.environ.get("H2H_NRES", "2"))
+EMBED = int(os.environ.get("H2H_EMBED", "64"))
+DEPTHS = tuple(int(v) for v in os.environ.get("H2H_DEPTHS", "2,2").split(","))
+HEADS = tuple(int(v) for v in os.environ.get("H2H_HEADS", "4,4").split(","))
+WS, MLP = 5, 2.0
+PATCH = int(os.environ.get("H2H_PATCH", "80"))
+BATCH, LR = 4, 1e-4
 SEED = 11
 
 
